@@ -1,0 +1,9 @@
+"""The four FlashGraph vertex programs as Spark DataFrame programs
+(SURVEY.md §2.1 A1–A4)."""
+
+from linkgraph.algos.labelprop import label_propagation
+from linkgraph.algos.pagerank import pagerank
+from linkgraph.algos.triangles import triangle_counts
+from linkgraph.algos.wcc import wcc
+
+__all__ = ["pagerank", "wcc", "label_propagation", "triangle_counts"]

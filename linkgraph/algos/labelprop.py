@@ -1,0 +1,61 @@
+"""Synchronous label propagation (SURVEY.md §2.1 A3).
+
+Convention: label0(v) = v; per superstep every vertex takes the most
+frequent label among its in+out neighbors' labels from the PREVIOUS
+superstep (synchronous update), ties broken by the smallest label;
+isolated vertices keep their label; fixed iteration count (default 10 —
+synchronous LP can oscillate, so a pinned count makes results
+exact-matchable). Exact-match acceptance.
+
+Spark mapping (SURVEY.md G4): two-level aggregation —
+groupBy(dst, label).count() then groupBy(dst).agg(min(struct(-cnt, label)))
+— both phases get Spark's map-side partial aggregation (the message
+combiner), and the struct-min trick avoids a window shuffle for the
+argmax-with-tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linkgraph.build import symmetrize, vertex_ids_from_edges
+from linkgraph.conventions import LP_ITERS
+from linkgraph.engine import RunResult, SuperstepEngine
+
+
+def label_propagation(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    iters: int = LP_ITERS,
+    engine: SuperstepEngine | None = None,
+    resume: bool = False,
+) -> RunResult:
+    """Run LP for a fixed number of supersteps; result state = (id, label)."""
+    engine = engine or SuperstepEngine(spark)
+    sym = symmetrize(edges).persist()  # loop-invariant
+    ids = vertices.select("id") if vertices is not None else vertex_ids_from_edges(edges)
+    state0 = ids.select("id", F.col("id").alias("label"))
+
+    def step(state: DataFrame, iteration: int) -> DataFrame:
+        nb_labels = sym.join(
+            state.select(F.col("id").alias("src_id"), "label"), "src_id"
+        ).select("dst_id", "label")
+        counts = nb_labels.groupBy("dst_id", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        winners = counts.groupBy("dst_id").agg(
+            F.min(F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("label").alias("label"))).alias("w")
+        ).select("dst_id", F.col("w.label").alias("new_label"))
+        return (
+            state.join(winners, state["id"] == winners["dst_id"], "left")
+            .select(
+                state["id"],
+                F.coalesce(F.col("new_label"), state["label"]).alias("label"),
+            )
+        )
+
+    result = engine.run(state0, step, max_iters=iters, should_stop=None, resume=resume)
+    sym.unpersist()
+    return result

@@ -1,0 +1,89 @@
+"""Per-vertex triangle counting (SURVEY.md §2.1 A4).
+
+Convention: undirected triangle count per vertex on the deduplicated
+symmetrized simple graph (self-loops removed); count(v) = number of
+unordered neighbor pairs {u, w} of v such that edge {u, w} exists.
+Global count = Σ/3. Exact-match acceptance.
+
+Spark mapping: **degree-ordered orientation** — order vertices by
+(degree, id) and keep each undirected edge only in its low→high
+orientation; wedges are then a self-join on the low endpoint and the
+closure check a join against the oriented edge set. Degree ordering bounds
+the wedge blowup on hubs (a hub's oriented out-list holds only
+higher-degree endpoints), the classic trick that makes the wedge join
+feasible at crawl scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linkgraph.build import vertex_ids_from_edges
+
+
+def _canonical_undirected(edges: DataFrame) -> DataFrame:
+    """Each undirected edge once, as (a, b) with a < b; no self-loops."""
+    return (
+        edges.filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            F.least("src_id", "dst_id").alias("a"),
+            F.greatest("src_id", "dst_id").alias("b"),
+        )
+        .distinct()
+    )
+
+
+def triangle_counts(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+) -> DataFrame:
+    """Per-vertex triangle counts; returns DataFrame(id, tri)."""
+    und = _canonical_undirected(edges).persist()
+
+    # undirected degree, then a total order key (deg, id) packed into one
+    # long (deg < 2^31 and id < 2^31 at any realistic scale per partition of
+    # the id space; ordering by the packed key == ordering by (deg, id))
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    key = deg.select("id", (F.col("deg") * F.lit(1 << 31) + F.col("id")).alias("key"))
+
+    ka = key.select(F.col("id").alias("a"), F.col("key").alias("key_a"))
+    kb = key.select(F.col("id").alias("b"), F.col("key").alias("key_b"))
+    oriented = (
+        und.join(ka, "a")
+        .join(kb, "b")
+        .select(
+            F.when(F.col("key_a") < F.col("key_b"), F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(F.col("key_a") < F.col("key_b"), F.col("b")).otherwise(F.col("a")).alias("hi"),
+            F.least("key_a", "key_b").alias("key_lo"),
+            F.greatest("key_a", "key_b").alias("key_hi"),
+        )
+        .persist()
+    )
+
+    e1 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"), F.col("key_hi").alias("kv"))
+    e2 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("w"), F.col("key_hi").alias("kw"))
+    wedges = e1.join(e2, "u").filter(F.col("kv") < F.col("kw")).select("u", "v", "w")
+
+    closer = oriented.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
+    triangles = wedges.join(closer, ["v", "w"], "inner")  # (u, v, w) closed
+
+    tri_vertices = (
+        triangles.select(F.col("u").alias("id"))
+        .unionByName(triangles.select(F.col("v").alias("id")))
+        .unionByName(triangles.select(F.col("w").alias("id")))
+    )
+    counts = tri_vertices.groupBy("id").agg(F.count(F.lit(1)).alias("tri"))
+
+    ids = vertices.select("id") if vertices is not None else vertex_ids_from_edges(edges)
+    out = ids.join(counts, "id", "left").select(
+        "id", F.coalesce("tri", F.lit(0)).cast("long").alias("tri")
+    )
+    und.unpersist()
+    return out

@@ -1,0 +1,169 @@
+"""Edge-table build pipeline (SURVEY.md §2.1 A8, §3.2 lifecycle 2).
+
+Replaces the reference's ``el2fg`` converter (edge-list text → binary
+adjacency image + vertex index): here the "graph image" is a columnar edge
+table, range-partitioned by ``src_id`` and sorted ``(src_id, dst_id)``
+within partitions — the Parquet layout that gives each superstep sequential
+columnar reads, mirroring FlashGraph's sequential-I/O vertex scheduling
+(FAST'15 §3.5).
+
+Pipeline:  pages → latest-crawl dedup → link extraction (Arrow UDF) →
+url normalization → deterministic url→id dictionary → (src_id, dst_id)
+dedup → degrees → sorted layout.
+
+Determinism rule: vertex ids are dense ranks over ``ORDER BY url`` —
+layout-independent, so exact-match goldens survive any repartitioning.
+``monotonically_increasing_id`` is never used (partition-layout-dependent).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from linkgraph.extract import extract_links_udf
+
+
+@dataclass
+class Graph:
+    """vertices(id, url, out_deg, in_deg) + edges(src_id, dst_id)."""
+
+    vertices: DataFrame
+    edges: DataFrame
+
+
+def latest_snapshot(pages: DataFrame) -> DataFrame:
+    """Latest crawl per url (W1: row_number over warc_ts desc).
+
+    Ties on (url, warc_ts) are broken by html bytes to stay deterministic.
+    """
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"), F.desc("html"))
+    return (
+        pages.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def extract_link_pairs(pages: DataFrame) -> DataFrame:
+    """pages → (src_url, dst_url) pairs, one row per extracted link."""
+    return (
+        pages.select(
+            F.col("url").alias("src_url"),
+            F.explode(extract_links_udf(F.col("html"), F.col("url"))).alias("dst_url"),
+        )
+    )
+
+
+def assign_vertex_ids(urls: DataFrame, scalable: bool = True, partitions: int = 32) -> DataFrame:
+    """Deterministic dense ids: rank of url in global sorted order.
+
+    ``scalable=False``: single-partition window (fine ≤1e8 rows).
+    ``scalable=True`` (default): two-phase parallel dense rank — range-
+    partition by url, count rows per partition (tiny collect), compute
+    per-partition offsets, then a per-partition-local row_number + offset.
+    Output is identical (ids follow global url order) but no single-task
+    bottleneck — this is the crawl-scale path (SURVEY.md §7 "hard parts").
+    """
+    urls = urls.select("url").distinct()
+    if not scalable:
+        w = Window.orderBy("url")
+        return urls.select(
+            (F.row_number().over(w) - F.lit(1)).cast("long").alias("id"), "url"
+        )
+    ranged = (
+        urls.repartitionByRange(partitions, "url")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_df = ranged.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "__pid int, __offset long"
+    )
+    w = Window.partitionBy("__pid").orderBy("url")
+    out = (
+        ranged.join(F.broadcast(offset_df), "__pid")
+        .select(
+            (F.row_number().over(w) - F.lit(1) + F.col("__offset")).cast("long").alias("id"),
+            "url",
+        )
+    )
+    return out
+
+
+def build_graph(
+    pages: DataFrame,
+    partitions: int = 32,
+    scalable_ids: bool = True,
+) -> Graph:
+    """Full build: pages table → Graph(vertices, edges).
+
+    The vertex universe is the union of page urls and link-target urls
+    (targets without a page survive as dangling vertices — outdeg 0).
+    """
+    snap = latest_snapshot(pages)
+    pairs = extract_link_pairs(snap).persist()
+
+    url_universe = snap.select("url").unionByName(
+        pairs.select(F.col("dst_url").alias("url"))
+    )
+    dictionary = assign_vertex_ids(url_universe, scalable=scalable_ids, partitions=partitions).persist()
+
+    edges = (
+        pairs.join(dictionary.withColumnRenamed("url", "src_url").withColumnRenamed("id", "src_id"), "src_url")
+        .join(dictionary.withColumnRenamed("url", "dst_url").withColumnRenamed("id", "dst_id"), "dst_url")
+        .select("src_id", "dst_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+    )
+    edges = (
+        edges.repartitionByRange(partitions, "src_id")
+        .sortWithinPartitions("src_id", "dst_id")
+        .persist()
+    )
+
+    out_deg = edges.groupBy(F.col("src_id").alias("id")).agg(F.count(F.lit(1)).alias("out_deg"))
+    in_deg = edges.groupBy(F.col("dst_id").alias("id")).agg(F.count(F.lit(1)).alias("in_deg"))
+    vertices = (
+        dictionary.join(out_deg, "id", "left")
+        .join(in_deg, "id", "left")
+        .select(
+            "id",
+            "url",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
+    pairs.unpersist()
+    return Graph(vertices=vertices.persist(), edges=edges)
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected simple graph as directed pairs in both directions
+    (input to WCC / LP / TC — SURVEY.md U1)."""
+    rev = edges.select(
+        F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
+    )
+    return (
+        edges.unionByName(rev)
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+    )
+
+
+def vertex_ids_from_edges(edges: DataFrame) -> DataFrame:
+    """Vertex universe (id) implied by an edge table."""
+    return (
+        edges.select(F.col("src_id").alias("id"))
+        .unionByName(edges.select(F.col("dst_id").alias("id")))
+        .distinct()
+    )

@@ -1,0 +1,450 @@
+"""Driver-contract query registry (SURVEY.md §2 operator inventory).
+
+Each entry pairs a PySpark DataFrame program with an equivalent DuckDB SQL
+string run by the driver on the same parquet tables (t2 correctness gate,
+``__spark_entry__.py``). Conventions:
+
+- every computed column is aliased identically on both sides;
+- float aggregates are rounded to a fixed precision on both sides (the
+  driver hashes values — summation-order noise must not flip the hash);
+- graph queries run on a deterministic edge view derived from ``lineitem``
+  (``src = l_orderkey % 500``, ``dst = l_partkey % 500``, self-loops
+  dropped, distinct) so the DuckDB oracle can check real vertex-program
+  semantics: degrees, fixed-iteration PageRank, WCC-to-fixpoint (recursive
+  reachability), one synchronous LP round, exact triangle counts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from linkgraph.algos import label_propagation, pagerank, triangle_counts, wcc
+from linkgraph.build import symmetrize, vertex_ids_from_edges
+
+N_GRAPH = 500  # vertex-id space of the lineitem-derived edge view
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def lineitem_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            (F.col("l_orderkey") % N_GRAPH).cast("long").alias("src_id"),
+            (F.col("l_partkey") % N_GRAPH).cast("long").alias("dst_id"),
+        )
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+    )
+
+
+_EDGES_SQL = f"""
+edges AS (
+    SELECT DISTINCT CAST(l_orderkey % {N_GRAPH} AS BIGINT) AS src_id,
+                    CAST(l_partkey % {N_GRAPH} AS BIGINT) AS dst_id
+    FROM lineitem
+    WHERE l_orderkey % {N_GRAPH} <> l_partkey % {N_GRAPH}
+)"""
+
+_VERTS_SQL = """
+verts AS (
+    SELECT DISTINCT id FROM (
+        SELECT src_id AS id FROM edges UNION ALL SELECT dst_id AS id FROM edges
+    )
+)"""
+
+_SYM_SQL = """
+sym AS (
+    SELECT DISTINCT src_id, dst_id FROM (
+        SELECT src_id, dst_id FROM edges
+        UNION ALL
+        SELECT dst_id AS src_id, src_id AS dst_id FROM edges
+    ) WHERE src_id <> dst_id
+)"""
+
+
+def _pagerank_sql(iters: int) -> str:
+    """Unrolled fixed-iteration pull PageRank as a CTE chain."""
+    ctes = [
+        _EDGES_SQL,
+        _VERTS_SQL,
+        "deg AS (SELECT src_id AS id, COUNT(*) AS out_deg FROM edges GROUP BY src_id)",
+        "r0 AS (SELECT id, CAST(0.15 AS DOUBLE) AS rank FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""r{k} AS (
+    SELECT v.id, 0.15 + 0.85 * COALESCE(s.sum_contrib, 0) AS rank
+    FROM verts v LEFT JOIN (
+        SELECT e.dst_id AS id, SUM(r.rank / d.out_deg) AS sum_contrib
+        FROM edges e
+        JOIN r{k - 1} r ON e.src_id = r.id
+        JOIN deg d ON d.id = e.src_id
+        GROUP BY e.dst_id
+    ) s ON s.id = v.id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(rank, 6) AS rank FROM r{iters}"
+    )
+
+
+# --------------------------------------------------------------- graph layer
+
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = lineitem_edges(spark, sf_dir)
+    out_deg = e.groupBy(F.col("src_id").alias("id")).agg(F.count(F.lit(1)).alias("out_deg"))
+    in_deg = e.groupBy(F.col("dst_id").alias("id")).agg(F.count(F.lit(1)).alias("in_deg"))
+    return (
+        vertex_ids_from_edges(e)
+        .join(out_deg, "id", "left")
+        .join(in_deg, "id", "left")
+        .select(
+            "id",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
+
+
+_DEGREES_SQL = f"""
+WITH {_EDGES_SQL.strip()}, {_VERTS_SQL.strip()}
+SELECT v.id,
+       COALESCE(o.out_deg, 0) AS out_deg,
+       COALESCE(i.in_deg, 0) AS in_deg
+FROM verts v
+LEFT JOIN (SELECT src_id AS id, COUNT(*) AS out_deg FROM edges GROUP BY src_id) o ON o.id = v.id
+LEFT JOIN (SELECT dst_id AS id, COUNT(*) AS in_deg FROM edges GROUP BY dst_id) i ON i.id = v.id
+"""
+
+
+def q_graph_pagerank_5iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = lineitem_edges(spark, sf_dir)
+    res = pagerank(spark, e, max_iters=5, eps=0.0)
+    return res.state.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_graph_pagerank_5iter_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics via the CSR applyInPandas kernel (V2 ≡ V1 gate)."""
+    e = lineitem_edges(spark, sf_dir)
+    res = pagerank(spark, e, max_iters=5, eps=0.0, kernel="csr", partitions=8)
+    return res.state.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = lineitem_edges(spark, sf_dir)
+    res = wcc(spark, e)
+    return res.state.select("id", "comp")
+
+
+_WCC_SQL = f"""
+WITH RECURSIVE {_EDGES_SQL.strip()}, {_VERTS_SQL.strip()}, {_SYM_SQL.strip()},
+reach(v, u) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT r.v, e.dst_id FROM reach r JOIN sym e ON e.src_id = r.u
+)
+SELECT v AS id, MIN(u) AS comp FROM reach GROUP BY v
+"""
+
+
+def q_graph_lp_1round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = lineitem_edges(spark, sf_dir)
+    res = label_propagation(spark, e, iters=1)
+    return res.state.select("id", "label")
+
+
+_LP1_SQL = f"""
+WITH {_EDGES_SQL.strip()}, {_VERTS_SQL.strip()}, {_SYM_SQL.strip()},
+counts AS (
+    SELECT e.dst_id AS id, r.id AS label, COUNT(*) AS cnt
+    FROM sym e JOIN verts r ON e.src_id = r.id
+    GROUP BY e.dst_id, r.id
+),
+winner AS (
+    SELECT id, label FROM (
+        SELECT id, label,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+        FROM counts
+    ) WHERE rn = 1
+)
+SELECT v.id, COALESCE(w.label, v.id) AS label
+FROM verts v LEFT JOIN winner w ON w.id = v.id
+"""
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = lineitem_edges(spark, sf_dir)
+    return triangle_counts(spark, e)
+
+
+_TRI_SQL = f"""
+WITH {_EDGES_SQL.strip()}, {_VERTS_SQL.strip()},
+und AS (
+    SELECT DISTINCT LEAST(src_id, dst_id) AS a, GREATEST(src_id, dst_id) AS b
+    FROM edges WHERE src_id <> dst_id
+),
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM und e1
+    JOIN und e2 ON e2.a = e1.b
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+per_vertex AS (
+    SELECT id, COUNT(*) AS tri FROM (
+        SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+    ) GROUP BY id
+)
+SELECT v.id, COALESCE(p.tri, 0) AS tri
+FROM verts v LEFT JOIN per_vertex p ON p.id = v.id
+"""
+
+
+def q_graph_symmetrize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return symmetrize(lineitem_edges(spark, sf_dir))
+
+
+_SYMMETRIZE_SQL = f"""
+WITH {_EDGES_SQL.strip()}, {_SYM_SQL.strip()}
+SELECT src_id, dst_id FROM sym
+"""
+
+
+def q_graph_top10_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = lineitem_edges(spark, sf_dir)
+    res = pagerank(spark, e, max_iters=5, eps=0.0)
+    return (
+        res.state.select("id", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(10)
+    )
+
+
+_TOP10_SQL = _pagerank_sql(5) + " ORDER BY rank DESC, id ASC LIMIT 10"
+
+
+# ---------------------------------------------------------- relational layer
+
+def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregation (G1/G3/G5 coverage)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi join + predicate pushdown (J1/P2)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select("o_orderkey", "c_name", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+_JOIN_FILTER_SQL = """
+SELECT o_orderkey, c_name, ROUND(o_totalprice, 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join of small dims (J2)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+_BROADCAST_SQL = """
+SELECT r_name, COUNT(*) AS customers, ROUND(SUM(c_acctbal), 2) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (J4): customers with at least one urgent order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+_SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (J5): customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: top-3 orders by totalprice per customer, deterministic ties."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total"), "rn")
+    )
+
+
+_WINDOW_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total, rn FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+    FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_events_json_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F6: date_trunc + JSON extraction + conditional aggregation."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.when(F.col("k") > 50, F.col("value")).otherwise(F.lit(0.0))), 2).alias("hi_k_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+_EVENTS_SQL = """
+SELECT DATE_TRUNC('day', ts) AS day, event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN value ELSE 0 END), 2) AS hi_k_value
+FROM events
+GROUP BY DATE_TRUNC('day', ts), event_type
+ORDER BY day, event_type
+"""
+
+
+def q_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: dedup over a projection."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_custkey", "o_orderstatus").distinct()
+
+
+_DEDUP_SQL = "SELECT DISTINCT o_custkey, o_orderstatus FROM orders"
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/U3: customers that bought but never signed an urgent order."""
+    o = _t(spark, sf_dir, "orders")
+    all_cust = o.select(F.col("o_custkey").alias("custkey")).distinct()
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    return all_cust.exceptAll(urgent)
+
+
+_SET_OPS_SQL = """
+SELECT DISTINCT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+# ----------------------------------------------------------------- registry
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "graph_degrees": q_graph_degrees,
+    "graph_symmetrize": q_graph_symmetrize,
+    "graph_pagerank_5iter": q_graph_pagerank_5iter,
+    "graph_pagerank_5iter_csr": q_graph_pagerank_5iter_csr,
+    "graph_wcc": q_graph_wcc,
+    "graph_lp_1round": q_graph_lp_1round,
+    "graph_triangles": q_graph_triangles,
+    "graph_top10_pagerank": q_graph_top10_pagerank,
+    "lineitem_pricing_summary": q_lineitem_pricing_summary,
+    "join_filter": q_join_filter,
+    "broadcast_dim_join": q_broadcast_dim_join,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "window_topk_per_group": q_window_topk_per_group,
+    "events_json_datetime": q_events_json_datetime,
+    "dedup_distinct": q_dedup_distinct,
+    "set_ops_except": q_set_ops,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "graph_degrees": _DEGREES_SQL,
+    "graph_symmetrize": _SYMMETRIZE_SQL,
+    "graph_pagerank_5iter": _pagerank_sql(5),
+    "graph_pagerank_5iter_csr": _pagerank_sql(5),
+    "graph_wcc": _WCC_SQL,
+    "graph_lp_1round": _LP1_SQL,
+    "graph_triangles": _TRI_SQL,
+    "graph_top10_pagerank": _TOP10_SQL,
+    "lineitem_pricing_summary": _PRICING_SQL,
+    "join_filter": _JOIN_FILTER_SQL,
+    "broadcast_dim_join": _BROADCAST_SQL,
+    "semi_join": _SEMI_SQL,
+    "anti_join": _ANTI_SQL,
+    "window_topk_per_group": _WINDOW_TOPK_SQL,
+    "events_json_datetime": _EVENTS_SQL,
+    "dedup_distinct": _DEDUP_SQL,
+    "set_ops_except": _SET_OPS_SQL,
+}

@@ -1,0 +1,177 @@
+"""BSP superstep engine (SURVEY.md §2.1 A5).
+
+The reference's graph_engine (worker threads + message queues + level
+barrier, FlashGraph FAST'15 §3.3–3.5) maps onto Spark as: a Python driver
+loop over DataFrame transforms, where the shuffle boundary of the
+message-combine ``groupBy`` IS the superstep barrier and Spark's partial
+aggregation IS the message combiner.
+
+Spark-specific responsibilities handled here (SURVEY.md §4):
+
+- **Lineage truncation**: iterative DataFrame loops grow the logical plan
+  without bound; every ``checkpoint_every`` supersteps the vertex-state
+  table is written to parquet and re-read (plan reset).
+- **Resume** (BASELINE.json north_rule: "resumable from checkpoint with
+  per-partition lineage + metrics"): each checkpoint directory
+  ``ckpt/it=N`` carries a ``_meta.json`` with the iteration number,
+  per-partition row counts + xxhash64 checksums, schema, and wall time;
+  ``run(resume=True)`` restarts from the latest valid checkpoint.
+- **Metrics**: one JSONL row per superstep (iteration, seconds, rows, plus
+  algorithm-supplied scalars such as convergence delta).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linkgraph.conventions import CHECKPOINT_EVERY
+
+# step(state, iteration) -> new state (must contain the same id column)
+StepFn = Callable[[DataFrame, int], DataFrame]
+# stop(new_state, iteration) -> (stop?, metrics dict). Runs ≤1 Spark action.
+StopFn = Callable[[DataFrame, int], tuple[bool, dict]]
+
+
+@dataclass
+class RunResult:
+    state: DataFrame
+    iterations: int
+    metrics: list[dict] = field(default_factory=list)
+    resumed_from: int | None = None
+
+
+def _partition_lineage(state: DataFrame) -> list[dict]:
+    """Per-partition row counts + order-insensitive checksums."""
+    cols = [F.col(c).cast("string") for c in state.columns]
+    rows = (
+        state.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.xxhash64(*cols)).alias("checksum"),
+        )
+        .collect()
+    )
+    return [
+        {"partition": r["__pid"], "rows": r["rows"], "checksum": r["checksum"]}
+        for r in sorted(rows, key=lambda r: r["__pid"])
+    ]
+
+
+class SuperstepEngine:
+    """Runs an iterative vertex program as a driver loop over DataFrames."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        ckpt_dir: str | None = None,
+        checkpoint_every: int = CHECKPOINT_EVERY,
+        metrics_path: str | None = None,
+        lineage_in_meta: bool = True,
+    ) -> None:
+        self.spark = spark
+        self.ckpt_dir = ckpt_dir
+        self.checkpoint_every = checkpoint_every
+        self.metrics_path = metrics_path or (
+            os.path.join(ckpt_dir, "metrics.jsonl") if ckpt_dir else None
+        )
+        self.lineage_in_meta = lineage_in_meta
+
+    # ------------------------------------------------------------ checkpoints
+
+    def _ckpt_path(self, iteration: int) -> str:
+        assert self.ckpt_dir is not None
+        return os.path.join(self.ckpt_dir, f"it={iteration}")
+
+    def checkpoint(self, state: DataFrame, iteration: int, seconds: float) -> DataFrame:
+        """Write state + _meta.json, return the re-read (lineage-free) state."""
+        path = self._ckpt_path(iteration)
+        state.write.mode("overwrite").parquet(path)
+        reread = self.spark.read.parquet(path)
+        meta = {
+            "iteration": iteration,
+            "seconds": seconds,
+            "schema": reread.schema.jsonValue(),
+            "partitions": _partition_lineage(reread) if self.lineage_in_meta else [],
+        }
+        meta["rows"] = sum(p["rows"] for p in meta["partitions"]) if meta["partitions"] else None
+        with open(os.path.join(path, "_meta.json"), "w") as f:
+            json.dump(meta, f)
+        return reread
+
+    def latest_checkpoint(self) -> tuple[int, str] | None:
+        if not self.ckpt_dir or not os.path.isdir(self.ckpt_dir):
+            return None
+        best: tuple[int, str] | None = None
+        for name in os.listdir(self.ckpt_dir):
+            m = re.fullmatch(r"it=(\d+)", name)
+            if not m:
+                continue
+            path = os.path.join(self.ckpt_dir, name)
+            if not os.path.exists(os.path.join(path, "_meta.json")):
+                continue  # incomplete checkpoint (e.g. killed mid-write)
+            it = int(m.group(1))
+            if best is None or it > best[0]:
+                best = (it, path)
+        return best
+
+    def _log_metrics(self, record: dict) -> None:
+        if self.metrics_path:
+            os.makedirs(os.path.dirname(self.metrics_path), exist_ok=True)
+            with open(self.metrics_path, "a") as f:
+                f.write(json.dumps(record) + "\n")
+
+    # ------------------------------------------------------------------- run
+
+    def run(
+        self,
+        initial_state: DataFrame,
+        step: StepFn,
+        max_iters: int,
+        should_stop: StopFn | None = None,
+        resume: bool = False,
+    ) -> RunResult:
+        state = initial_state
+        start_iter = 0
+        resumed_from: int | None = None
+        if resume:
+            latest = self.latest_checkpoint()
+            if latest is not None:
+                start_iter, path = latest
+                state = self.spark.read.parquet(path)
+                resumed_from = start_iter
+
+        metrics: list[dict] = []
+        iteration = start_iter
+        for iteration in range(start_iter + 1, max_iters + 1):
+            t0 = time.monotonic()
+            # localCheckpoint every superstep: the step function references
+            # `state` more than once, so without truncation the logical plan
+            # doubles per iteration (2^k blowup -> driver OOM). This cuts the
+            # plan at a materialized RDD; the parquet checkpoint below is the
+            # durable/resumable layer (SURVEY.md §4 "lineage blowup").
+            new_state = step(state, iteration).localCheckpoint(eager=True)
+            stop, algo_metrics = (False, {})
+            if should_stop is not None:
+                stop, algo_metrics = should_stop(new_state, iteration)
+            seconds = time.monotonic() - t0
+            do_ckpt = self.ckpt_dir and (
+                iteration % self.checkpoint_every == 0 or stop or iteration == max_iters
+            )
+            if do_ckpt:
+                new_state = self.checkpoint(new_state, iteration, seconds)
+            state = new_state
+            record = {"iteration": iteration, "seconds": round(seconds, 4), **algo_metrics}
+            metrics.append(record)
+            self._log_metrics(record)
+            if stop:
+                break
+        return RunResult(state=state, iterations=iteration, metrics=metrics, resumed_from=resumed_from)

@@ -1,0 +1,85 @@
+"""Skew handling: salted aggregation + vertex-cut hub splitting.
+
+BASELINE.json north_star names both techniques explicitly:
+
+- **Salted aggregation** (SURVEY.md G6): a single hot reduce key (a hub
+  dst) funnels all its partial sums into one reducer. Two-phase fix: first
+  aggregate on (key, salt) — salt derived from the *other* side of the edge
+  so it is deterministic — then aggregate on key. Works for any
+  decomposable agg (sum/min/count are all decomposable).
+- **Vertex-cut splitting** (SURVEY.md §4.3, mirroring FlashGraph's vertical
+  partitioning of giant edge lists, FAST'15 §3.6): a hub src whose edge
+  list exceeds a threshold is split across partitions; its vertex state is
+  replicated to each split. Implemented inside the CSR kernel
+  (linkgraph/algos/pagerank.py) by routing hub edges to per-cut partitions
+  and exploding the hub's state row over the cuts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.conventions import SALT_BUCKETS
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    value: str,
+    agg: str = "sum",
+    salt_from: str | None = None,
+    buckets: int = SALT_BUCKETS,
+) -> DataFrame:
+    """Two-phase aggregation over ``key`` with a deterministic salt.
+
+    ``agg`` ∈ {sum, min, max, count}; for count the second phase sums the
+    per-salt counts. Result columns: (key, value) — same as the direct
+    ``groupBy(key).agg(...)`` it replaces.
+    """
+    salt_col = (
+        F.pmod(F.xxhash64(F.col(salt_from)), F.lit(buckets))
+        if salt_from
+        else F.pmod(F.xxhash64(F.col(value)), F.lit(buckets))
+    )
+    fns = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.count}
+    first = fns[agg]
+    second = F.sum if agg in ("sum", "count") else first
+    partial = (
+        df.withColumn("__salt", salt_col)
+        .groupBy(key, "__salt")
+        .agg(first(value).alias(value))
+    )
+    return partial.groupBy(key).agg(second(value).alias(value))
+
+
+def split_hub_sources(
+    edges: DataFrame,
+    threshold: int,
+    n_cuts: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Vertex-cut: split edge lists of srcs with outdeg > threshold.
+
+    Returns (edges_with_cut, hub_ids):
+    - ``edges_with_cut``: edges + ``cut`` column — 0 for normal srcs,
+      ``pmod(xxhash64(dst_id), n_cuts)`` for hub srcs (deterministic).
+    - ``hub_ids``: DataFrame(id) of hub sources (small; broadcastable).
+    """
+    hubs = (
+        edges.groupBy(F.col("src_id").alias("id"))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .filter(F.col("out_deg") > threshold)
+        .select("id")
+    )
+    with_cut = edges.join(
+        F.broadcast(hubs.withColumnRenamed("id", "src_id").withColumn("__is_hub", F.lit(True))),
+        "src_id",
+        "left",
+    ).withColumn(
+        "cut",
+        F.when(
+            F.col("__is_hub").isNotNull(),
+            F.pmod(F.xxhash64(F.col("dst_id")), F.lit(n_cuts)),
+        ).otherwise(F.lit(0)).cast("int"),
+    ).drop("__is_hub")
+    return with_cut, hubs
