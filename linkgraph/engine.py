@@ -56,7 +56,8 @@ def _partition_lineage(state: DataFrame) -> list[dict]:
         .groupBy("__pid")
         .agg(
             F.count(F.lit(1)).alias("rows"),
-            F.sum(F.xxhash64(*cols)).alias("checksum"),
+            # ANSI mode: sum of full-range longs overflows; sum in decimal space
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).cast("string").alias("checksum"),
         )
         .collect()
     )

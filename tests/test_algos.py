@@ -1,0 +1,100 @@
+"""t3 golden gates: the four vertex programs vs committed goldens/oracle.
+
+Acceptance (BASELINE.json north_rule): PageRank allclose(atol=1e-6) at
+convergence; WCC / LP / TC exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from linkgraph import oracle
+from linkgraph.algos import label_propagation, pagerank, triangle_counts, wcc
+from linkgraph.synth import WIKI_VOTE_N
+
+from conftest import golden
+
+
+def _vec(df, col):
+    pdf = df.toPandas().sort_values("id")
+    assert pdf.id.tolist() == list(range(WIKI_VOTE_N))
+    return pdf[col].to_numpy()
+
+
+def test_pagerank_converged_matches_golden(spark, wiki_edges_df, wiki_vertices_df):
+    """THE acceptance gate: full convergence run vs committed golden."""
+    res = pagerank(spark, wiki_edges_df, vertices=wiki_vertices_df)
+    got = _vec(res.state.select("id", "rank"), "rank")
+    want = golden("pagerank").sort_values("id")["rank"].to_numpy()
+    assert np.allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_pagerank_csr_equals_sql_kernel(spark, wiki_edges_df, wiki_vertices_df, wiki_edges):
+    """V2 ≡ V1 within 1e-12 (SURVEY.md §4.1) on a 15-iteration run."""
+    sql_r = pagerank(spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=15, eps=0.0)
+    csr_r = pagerank(
+        spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=15, eps=0.0,
+        kernel="csr", partitions=8,
+    )
+    a = _vec(sql_r.state.select("id", "rank"), "rank")
+    b = _vec(csr_r.state.select("id", "rank"), "rank")
+    assert np.allclose(a, b, rtol=0, atol=1e-12)
+    want, _ = oracle.pagerank(wiki_edges, WIKI_VOTE_N, max_iters=15, eps=0.0)
+    assert np.allclose(a, want, rtol=0, atol=1e-12)
+
+
+def test_pagerank_salted_equals_plain(spark, wiki_edges_df, wiki_vertices_df):
+    plain = pagerank(spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=8, eps=0.0)
+    salted = pagerank(
+        spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=8, eps=0.0, salted=True
+    )
+    a = _vec(plain.state.select("id", "rank"), "rank")
+    b = _vec(salted.state.select("id", "rank"), "rank")
+    assert np.allclose(a, b, rtol=0, atol=1e-12)
+
+
+def test_wcc_exact(spark, wiki_edges_df, wiki_vertices_df):
+    res = wcc(spark, wiki_edges_df, vertices=wiki_vertices_df)
+    got = _vec(res.state.select("id", "comp"), "comp")
+    want = golden("wcc").sort_values("id")["comp"].to_numpy()
+    assert (got == want).all()
+
+
+def test_lp_exact(spark, wiki_edges_df, wiki_vertices_df):
+    res = label_propagation(spark, wiki_edges_df, vertices=wiki_vertices_df)
+    got = _vec(res.state.select("id", "label"), "label")
+    want = golden("labels").sort_values("id")["label"].to_numpy()
+    assert (got == want).all()
+
+
+def test_triangles_exact(spark, wiki_edges_df, wiki_vertices_df):
+    got = _vec(triangle_counts(spark, wiki_edges_df, vertices=wiki_vertices_df), "tri")
+    want = golden("triangles").sort_values("id")["tri"].to_numpy()
+    assert (got == want).all()
+
+
+@pytest.mark.slow
+def test_hub_stress_vertex_cut(spark):
+    """CSR kernel with a forced low hub threshold == oracle on the
+    hub-heavy fixture (vertex-cut splitting path exercised for real)."""
+    from linkgraph.synth import HUB_STRESS_N, edges_df, hub_stress_edges
+
+    arr = hub_stress_edges()
+    e = edges_df(spark, arr, partitions=8)
+    verts = spark.range(HUB_STRESS_N).selectExpr("id")
+    res = pagerank(
+        spark, e, vertices=verts, max_iters=5, eps=0.0,
+        kernel="csr", partitions=8, hub_threshold=100,
+    )
+    got = _vec_n(res.state.select("id", "rank"), "rank", HUB_STRESS_N)
+    want, _ = oracle.pagerank(arr, HUB_STRESS_N, max_iters=5, eps=0.0)
+    # 4000-term float sums at the hub accumulate summation-order noise past
+    # 1e-12; 1e-9 is still far inside the 1e-6 acceptance tolerance
+    assert np.allclose(got, want, rtol=0, atol=1e-9)
+
+
+def _vec_n(df, col, n):
+    pdf = df.toPandas().sort_values("id")
+    assert pdf.id.tolist() == list(range(n))
+    return pdf[col].to_numpy()

@@ -1,0 +1,73 @@
+"""t5: checkpoint/resume — interrupted run == uninterrupted run.
+
+BASELINE.json north_rule: "resumable from checkpoint with per-partition
+lineage + metrics".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from linkgraph.algos import pagerank
+from linkgraph.engine import SuperstepEngine
+from linkgraph.synth import WIKI_VOTE_N
+
+
+def _ranks(res):
+    pdf = res.state.select("id", "rank").toPandas().sort_values("id")
+    return pdf["rank"].to_numpy()
+
+
+def test_resume_matches_uninterrupted(spark, wiki_edges_df, wiki_vertices_df, tmp_path):
+    full = pagerank(spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=10, eps=0.0)
+
+    ckpt = str(tmp_path / "ckpt")
+    eng = SuperstepEngine(spark, ckpt_dir=ckpt, checkpoint_every=3)
+    partial = pagerank(
+        spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=6, eps=0.0, engine=eng
+    )
+    assert partial.iterations == 6
+    # "crash" after iteration 6 (checkpointed at 3 and 6); resume to 10
+    eng2 = SuperstepEngine(spark, ckpt_dir=ckpt, checkpoint_every=3)
+    resumed = pagerank(
+        spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=10, eps=0.0,
+        engine=eng2, resume=True,
+    )
+    assert resumed.resumed_from == 6
+    # checkpoint re-read changes the partition layout, which changes float
+    # summation order in the gather groupBy — bit-exactness is not guaranteed,
+    # 1e-12 is (acceptance tolerance is 1e-6)
+    assert np.allclose(_ranks(full), _ranks(resumed), rtol=0, atol=1e-12)
+
+
+def test_checkpoint_meta_lineage(spark, wiki_edges_df, wiki_vertices_df, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    eng = SuperstepEngine(spark, ckpt_dir=ckpt, checkpoint_every=2)
+    pagerank(
+        spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=4, eps=0.0, engine=eng
+    )
+    meta_path = os.path.join(ckpt, "it=4", "_meta.json")
+    assert os.path.exists(meta_path)
+    meta = json.load(open(meta_path))
+    assert meta["iteration"] == 4
+    assert meta["rows"] == WIKI_VOTE_N
+    assert all({"partition", "rows", "checksum"} <= set(p) for p in meta["partitions"])
+    # metrics JSONL: one row per superstep
+    lines = [json.loads(line) for line in open(os.path.join(ckpt, "metrics.jsonl"))]
+    assert [r["iteration"] for r in lines] == [1, 2, 3, 4]
+    assert all("max_delta" in r and "seconds" in r for r in lines)
+
+
+def test_resume_ignores_incomplete_checkpoint(spark, wiki_edges_df, wiki_vertices_df, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    eng = SuperstepEngine(spark, ckpt_dir=ckpt, checkpoint_every=2)
+    pagerank(
+        spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=4, eps=0.0, engine=eng
+    )
+    # simulate a checkpoint killed mid-write: directory without _meta.json
+    os.makedirs(os.path.join(ckpt, "it=5"))
+    latest = eng.latest_checkpoint()
+    assert latest is not None and latest[0] == 4

@@ -1,0 +1,134 @@
+"""t4 property-based tests.
+
+Fast layer: hypothesis-generated random digraphs (≤60 vertices) check the
+pure oracle against networkx invariants (WCC equivalence classes, triangle
+totals, PageRank lower bound & relabeling invariance).
+
+Spark layer: a few seeded random digraphs through the full Spark engine vs
+the oracle (kept small — each Spark run costs seconds).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from linkgraph import oracle
+
+try:
+    import networkx as nx
+
+    HAS_NX = True
+except ImportError:  # pragma: no cover
+    HAS_NX = False
+
+
+@st.composite
+def digraphs(draw):
+    n = draw(st.integers(min_value=2, max_value=60))
+    m = draw(st.integers(min_value=0, max_value=150))
+    edges = draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=n - 1),
+                st.integers(min_value=0, max_value=n - 1),
+            ),
+            min_size=m,
+            max_size=m,
+        )
+    )
+    arr = np.array([(s, d) for s, d in edges if s != d], dtype=np.int64).reshape(-1, 2)
+    return n, arr
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(digraphs())
+def test_oracle_wcc_matches_networkx(g):
+    n, edges = g
+    if not HAS_NX:
+        pytest.skip("networkx missing")
+    comp = oracle.wcc(edges, n)
+    G = nx.DiGraph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from(map(tuple, edges))
+    for cc in nx.weakly_connected_components(G):
+        ids = sorted(cc)
+        assert all(comp[v] == ids[0] for v in ids)
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(digraphs())
+def test_oracle_triangles_match_networkx(g):
+    n, edges = g
+    if not HAS_NX:
+        pytest.skip("networkx missing")
+    tri = oracle.triangle_counts(edges, n)
+    G = nx.Graph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from(map(tuple, edges))
+    G.remove_edges_from(nx.selfloop_edges(G))
+    nxt = nx.triangles(G)
+    assert all(tri[v] == nxt[v] for v in range(n))
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(digraphs())
+def test_oracle_pagerank_invariants(g):
+    n, edges = g
+    ranks, _ = oracle.pagerank(edges, n, max_iters=30)
+    # every rank >= 1 - d (dangling floor), and finite
+    assert (ranks >= 0.15 - 1e-12).all()
+    assert np.isfinite(ranks).all()
+    # relabeling invariance: permute vertex ids, scores follow the permutation
+    perm = np.random.default_rng(7).permutation(n)
+    p_edges = perm[edges].reshape(-1, 2) if len(edges) else edges
+    p_ranks, _ = oracle.pagerank(p_edges, n, max_iters=30)
+    assert np.allclose(p_ranks[perm], ranks, atol=1e-12)
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(digraphs())
+def test_oracle_lp_partition_consistency(g):
+    n, edges = g
+    labels = oracle.label_propagation(edges, n, iters=5)
+    # labels are valid vertex ids; isolated vertices keep their own label
+    assert ((labels >= 0) & (labels < n)).all()
+    sym = oracle.symmetrize(edges)
+    touched = set(sym[:, 0].tolist()) if len(sym) else set()
+    for v in range(n):
+        if v not in touched:
+            assert labels[v] == v
+
+
+SEEDED_GRAPHS = [(30, 80, 1), (50, 200, 2), (60, 60, 3)]
+
+
+@pytest.mark.parametrize("n,m,seed", SEEDED_GRAPHS)
+def test_spark_engine_matches_oracle_random(spark, n, m, seed):
+    from linkgraph.algos import label_propagation, pagerank, triangle_counts, wcc
+    from linkgraph.synth import edges_df
+
+    rng = np.random.default_rng(seed)
+    raw = rng.integers(0, n, size=(m, 2))
+    arr = np.unique(raw[raw[:, 0] != raw[:, 1]], axis=0)
+    e = edges_df(spark, arr, partitions=4)
+    verts = spark.range(n).selectExpr("id")
+
+    pr = pagerank(spark, e, vertices=verts, max_iters=10, eps=0.0)
+    got = pr.state.select("id", "rank").toPandas().sort_values("id")["rank"].to_numpy()
+    want, _ = oracle.pagerank(arr, n, max_iters=10, eps=0.0)
+    assert np.allclose(got, want, atol=1e-12)
+
+    cw = wcc(spark, e, vertices=verts)
+    got = cw.state.select("id", "comp").toPandas().sort_values("id")["comp"].to_numpy()
+    assert (got == oracle.wcc(arr, n)).all()
+
+    lp = label_propagation(spark, e, vertices=verts, iters=5)
+    got = lp.state.select("id", "label").toPandas().sort_values("id")["label"].to_numpy()
+    assert (got == oracle.label_propagation(arr, n, iters=5)).all()
+
+    tc = triangle_counts(spark, e, vertices=verts)
+    got = tc.toPandas().sort_values("id")["tri"].to_numpy()
+    assert (got == oracle.triangle_counts(arr, n)).all()
