@@ -1,0 +1,138 @@
+"""Headline benchmark (driver contract): one JSON line on stdout.
+
+Runs the engine's headline workloads at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``:
+
+- pages pipeline: synth pages -> extraction UDFs -> edge table (build throughput)
+- PageRank supersteps on a deterministic 5M-edge power-law graph, both
+  kernels (SQL join+agg, CSR applyInPandas) — the north metric
+- WCC to fixpoint, LP supersteps, triangle counting
+- relational headliners at sf0.1 (TPC-H-ish Q1, window top-k, JSON/datetime)
+
+Output: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_V = int(os.environ.get("SPARK_GRAFT_BENCH_VERTICES", "500000"))
+BENCH_E = int(os.environ.get("SPARK_GRAFT_BENCH_EDGES", "5000000"))
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "5000"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from linkgraph.algos import label_propagation, pagerank, triangle_counts, wcc
+    from linkgraph.benchgen import gen_bench_edges
+    from linkgraph.build import build_graph
+    from linkgraph.session import get_spark
+    from linkgraph.synth import gen_pages
+
+    spark = get_spark(
+        app_name="linkgraph-bench",
+        shuffle_partitions=2 * CPUS,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    extras: dict[str, object] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        queries[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # ---- pages pipeline (extraction UDFs + build)
+    pages = gen_pages(spark, BENCH_PAGES).persist()
+    pages.count()
+
+    def build():
+        # partition count sized to the data (one task per ~few MB), not the
+        # core count — at crawl scale this would be thousands
+        g = build_graph(pages, partitions=16)
+        return g.edges.count()
+
+    n_built = timed("pages_build_edges", build)
+    extras["pages"] = BENCH_PAGES
+    extras["built_edges"] = n_built
+    extras["pages_per_sec"] = round(BENCH_PAGES / queries["pages_build_edges"], 1)
+
+    # ---- iterative graph programs on the deterministic bench graph
+    edges = gen_bench_edges(spark, BENCH_V, BENCH_E).persist()
+    n_edges = edges.count()
+    extras["bench_graph"] = {"vertices": BENCH_V, "edges": n_edges}
+
+    def steady(res):
+        per = sorted(m["seconds"] for m in res.metrics[2:]) or sorted(
+            m["seconds"] for m in res.metrics
+        )
+        return per[len(per) // 2]
+
+    res = timed("pagerank_sql_5iter", lambda: pagerank(spark, edges, max_iters=5, eps=0.0))
+    pr_steady = steady(res)
+    extras["pagerank_sql"] = {
+        "steady_sec_per_iter": round(pr_steady, 3),
+        "edges_per_sec": round(n_edges / pr_steady, 1),
+        "iters_per_hour": round(3600.0 / pr_steady, 1),
+    }
+
+    res = timed(
+        "pagerank_csr_5iter",
+        lambda: pagerank(spark, edges, max_iters=5, eps=0.0, kernel="csr"),
+    )
+    csr_steady = steady(res)
+    extras["pagerank_csr"] = {
+        "steady_sec_per_iter": round(csr_steady, 3),
+        "edges_per_sec": round(n_edges / csr_steady, 1),
+        "iters_per_hour": round(3600.0 / csr_steady, 1),
+    }
+
+    res = timed("wcc_fixpoint", lambda: wcc(spark, edges))
+    extras["wcc_iterations"] = res.iterations
+
+    timed("lp_3iter", lambda: label_propagation(spark, edges, iters=3))
+
+    tri_edges = gen_bench_edges(spark, 200_000, 1_000_000).persist()
+    tri_edges.count()
+    timed("triangle_counts", lambda: triangle_counts(spark, tri_edges).count())
+
+    # ---- relational headliners at the sf dir
+    from linkgraph.driver_queries import (
+        q_events_json_datetime,
+        q_lineitem_pricing_summary,
+        q_window_topk_per_group,
+    )
+
+    timed("sf_pricing_summary", lambda: q_lineitem_pricing_summary(spark, SF_DIR).count())
+    timed("sf_window_topk", lambda: q_window_topk_per_group(spark, SF_DIR).count())
+    timed("sf_events_json", lambda: q_events_json_datetime(spark, SF_DIR).count())
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "pagerank_sql_steady_sec_per_superstep",
+                "value": round(pr_steady, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": CPUS,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -31,10 +31,14 @@ def label_propagation(
     iters: int = LP_ITERS,
     engine: SuperstepEngine | None = None,
     resume: bool = False,
+    partitions: int | None = None,
 ) -> RunResult:
     """Run LP for a fixed number of supersteps; result state = (id, label)."""
     engine = engine or SuperstepEngine(spark)
-    sym = symmetrize(edges).persist()  # loop-invariant
+    partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # loop-invariant; pre-partitioned on the gather key so per-superstep
+    # joins reuse the layout (see pagerank.py for the rationale)
+    sym = symmetrize(edges).repartition(partitions, "src_id").persist()
     ids = vertices.select("id") if vertices is not None else vertex_ids_from_edges(edges)
     state0 = ids.select("id", F.col("id").alias("label"))
 

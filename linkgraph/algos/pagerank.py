@@ -82,7 +82,7 @@ def pagerank(
     eps: float = PR_EPS,
     max_iters: int = PR_MAX_ITERS,
     kernel: str = "sql",
-    partitions: int = 16,
+    partitions: int | None = None,
     salted: bool = False,
     hub_threshold: int = HUB_OUTDEG_THRESHOLD,
     engine: SuperstepEngine | None = None,
@@ -90,7 +90,14 @@ def pagerank(
 ) -> RunResult:
     """Run PageRank to convergence; result state = (id, rank, out_deg, prev_rank)."""
     engine = engine or SuperstepEngine(spark)
-    edges = edges.select("src_id", "dst_id").persist()  # loop-invariant
+    partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Loop-invariant edge table: hash-partition by the gather key ONCE and
+    # persist. Every superstep's join then reuses this partitioning (the
+    # plan shows InMemoryTableScan feeding ShuffledHashJoin with no
+    # Exchange) — only the small vertex-state side shuffles per iteration.
+    # This is the Spark analogue of FlashGraph keeping the graph image
+    # partitioned across SSDs while vertex state moves (FAST'15 §3.6).
+    edges = edges.select("src_id", "dst_id").repartition(partitions, "src_id").persist()
     state0 = _initial_state(edges, vertices, damping).withColumn(
         "prev_rank", F.lit(0.0)
     )

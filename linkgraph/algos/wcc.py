@@ -34,10 +34,14 @@ def wcc(
     max_iters: int = 200,
     engine: SuperstepEngine | None = None,
     resume: bool = False,
+    partitions: int | None = None,
 ) -> RunResult:
     """Run WCC to fixpoint; result state = (id, comp, changed)."""
     engine = engine or SuperstepEngine(spark)
-    sym = symmetrize(edges).persist()  # loop-invariant
+    partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # loop-invariant; pre-partitioned on the gather key so per-superstep
+    # joins reuse the layout (see pagerank.py for the rationale)
+    sym = symmetrize(edges).repartition(partitions, "src_id").persist()
     ids = vertices.select("id") if vertices is not None else vertex_ids_from_edges(edges)
     state0 = ids.select(
         "id", F.col("id").alias("comp"), F.lit(True).alias("changed")

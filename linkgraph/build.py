@@ -110,7 +110,7 @@ def build_graph(
     The vertex universe is the union of page urls and link-target urls
     (targets without a page survive as dangling vertices — outdeg 0).
     """
-    snap = latest_snapshot(pages)
+    snap = latest_snapshot(pages).persist()  # consumed twice (urls + links)
     pairs = extract_link_pairs(snap).persist()
 
     url_universe = snap.select("url").unionByName(
@@ -144,6 +144,7 @@ def build_graph(
         )
     )
     pairs.unpersist()
+    snap.unpersist()
     return Graph(vertices=vertices.persist(), edges=edges)
 
 

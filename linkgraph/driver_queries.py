@@ -407,7 +407,43 @@ SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGE
 """
 
 
+# ------------------------------------------------- pages pipeline (rows-only)
+
+def q_pages_pipeline_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship web pipeline end-to-end on deterministic synthetic pages:
+    extraction UDFs -> edge table -> PageRank -> top-10 urls. Rows-only
+    (the pages table is synthesized, not a DuckDB view)."""
+    from linkgraph.algos import pagerank as _pagerank
+    from linkgraph.build import build_graph
+    from linkgraph.synth import gen_pages
+
+    pages = gen_pages(spark, 300)
+    g = build_graph(pages, partitions=8)
+    res = _pagerank(spark, g.edges, vertices=g.vertices, max_iters=10, eps=1e-4)
+    return (
+        res.state.join(g.vertices.select("id", "url"), "id")
+        .select("id", "url", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(10)
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction plumbing over synthetic pages' html
+    (decode stubbed — linkgraph/multimodal.py). Rows-only."""
+    from linkgraph.multimodal import extract_media_features
+    from linkgraph.synth import gen_pages
+
+    pages = gen_pages(spark, 200)
+    feats = extract_media_features(pages, key_col="url", payload_col="html")
+    return feats.select(
+        "key", "mime", "n_bytes", F.round(F.element_at("features", 1), 5).alias("f0")
+    )
+
+
 # ----------------------------------------------------------------- registry
+
+from linkgraph import simsearch, textops  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_degrees": q_graph_degrees,
@@ -427,6 +463,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json_datetime": q_events_json_datetime,
     "dedup_distinct": q_dedup_distinct,
     "set_ops_except": q_set_ops,
+    # training-data pipeline ops (documents / embeddings)
+    "doc_fingerprint": textops.q_doc_fingerprint,
+    "doc_dedup_exact": textops.q_doc_dedup_exact,
+    "doc_jaccard_pairs": textops.q_doc_jaccard_pairs,
+    "doc_minhash_lsh": textops.q_doc_minhash_lsh_candidates,
+    "doc_token_count": textops.q_doc_token_count,
+    "doc_quality": textops.q_doc_quality,
+    "doc_lang_id": textops.q_doc_lang_id,
+    "doc_lang_quality_summary": textops.q_doc_lang_quality_summary,
+    "doc_rolling_fingerprint": textops.q_doc_rolling_fingerprint,
+    "knn_bruteforce": simsearch.q_knn_bruteforce,
+    "knn_lsh": simsearch.q_knn_lsh,
+    "embedding_label_norms": simsearch.q_embedding_label_norms,
+    # rows-only (non-SQL-expressible inputs: synthesized pages)
+    "pages_pipeline_top10": q_pages_pipeline_top10,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -447,4 +499,16 @@ ORACLE_SQL: dict[str, str] = {
     "events_json_datetime": _EVENTS_SQL,
     "dedup_distinct": _DEDUP_SQL,
     "set_ops_except": _SET_OPS_SQL,
+    "doc_fingerprint": textops.DOC_FINGERPRINT_SQL,
+    "doc_dedup_exact": textops.DOC_DEDUP_EXACT_SQL,
+    "doc_jaccard_pairs": textops.DOC_JACCARD_SQL,
+    "doc_minhash_lsh": textops.DOC_MINHASH_LSH_SQL,
+    "doc_token_count": textops.DOC_TOKEN_COUNT_SQL,
+    "doc_quality": textops.DOC_QUALITY_SQL,
+    "doc_lang_id": textops.DOC_LANG_ID_SQL,
+    "doc_lang_quality_summary": textops.DOC_LANG_QUALITY_SQL,
+    "doc_rolling_fingerprint": textops.DOC_ROLLING_FP_SQL,
+    "knn_bruteforce": simsearch.KNN_BRUTEFORCE_SQL,
+    "embedding_label_norms": simsearch.EMBEDDING_LABEL_NORMS_SQL,
+    # "knn_lsh", "pages_pipeline_top10", "multimodal_features": rows-only
 }

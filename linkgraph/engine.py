@@ -152,6 +152,30 @@ class SuperstepEngine:
 
         metrics: list[dict] = []
         iteration = start_iter
+        # Superstep plans are identical every iteration and stage sizes are
+        # known after iteration 1 — AQE's per-iteration replanning is pure
+        # overhead inside the loop (measured ~2-3x per-superstep latency).
+        # One-shot queries outside the loop keep the session's AQE setting.
+        aqe_before = self.spark.conf.get("spark.sql.adaptive.enabled")
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return self._run_loop(
+                state, step, max_iters, should_stop, start_iter, resumed_from, metrics
+            )
+        finally:
+            self.spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+    def _run_loop(
+        self,
+        state: DataFrame,
+        step: StepFn,
+        max_iters: int,
+        should_stop: StopFn | None,
+        start_iter: int,
+        resumed_from: int | None,
+        metrics: list[dict],
+    ) -> RunResult:
+        iteration = start_iter
         for iteration in range(start_iter + 1, max_iters + 1):
             t0 = time.monotonic()
             # localCheckpoint every superstep: the step function references

@@ -36,10 +36,23 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # iterative gather joins: the edge table is pre-hash-partitioned on
+        # src_id and persisted; shuffled-hash join streams it without the
+        # per-superstep sort SMJ would add (see linkgraph/algos/pagerank.py)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # local mode: driver JVM == all executors; size the heap for the
+        # thread count or 32 threads' shuffle buffers thrash an 8g heap
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # throughput GC keeps superstep latencies steadier than G1 here
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # local mode: shuffle files through tmpfs when available — one shared
+    # disk otherwise serializes all executor threads' shuffle I/O (on a real
+    # cluster each executor has its own local disks)
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        b = b.config("spark.local.dir", "/dev/shm/spark-local")
     if not SparkSession.getActiveSession():
         b = b.master(master)
     if extra_conf:

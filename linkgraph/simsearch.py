@@ -1,0 +1,153 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+- Brute-force cosine top-k: the exact baseline. Query side is broadcast
+  (small); similarity is computed with built-in higher-order array
+  functions (``zip_with`` + ``aggregate``) — JVM-side, no Python UDF.
+- LSH-bucketed variant (random-hyperplane SimHash): the scale path — a
+  signature groupBy replaces the full cross product; candidates are then
+  re-scored exactly. Hyperplanes are deterministic (hash-derived), so the
+  result is reproducible without fitting state.
+
+Float note: cosine scores are rounded to 3 decimals in both engines so the
+driver's value-hash comparison is not flipped by float32→float64 noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TOP_K = 5
+N_QUERIES = 5  # first N vec_ids serve as the query set
+SIMHASH_BITS = 8
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for the first N_QUERIES vectors (excluding self)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    pairs = F.broadcast(queries).crossJoin(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e"))
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("q"), F.col("e")) / (_norm(F.col("q")) * _norm(F.col("e"))), 3).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+KNN_BRUTEFORCE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROUND(list_dot_product(q.qv, e.embedding)
+                 / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.embedding, e.embedding))), 3) AS cosine
+    FROM q, embeddings e
+    WHERE q.query_id <> e.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rn FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+    FROM scored
+) WHERE rn <= {TOP_K}
+"""
+
+
+def q_embedding_label_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label count + mean L2 norm (embedding-hygiene aggregate)."""
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("label", _norm(F.col("embedding")).alias("nrm"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("vectors"), F.round(F.avg("nrm"), 3).alias("avg_norm"))
+        .orderBy("label")
+    )
+
+
+EMBEDDING_LABEL_NORMS_SQL = """
+SELECT label, COUNT(*) AS vectors,
+       ROUND(AVG(sqrt(list_dot_product(embedding, embedding))), 3) AS avg_norm
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+def simhash_signature(emb_col, bits: int = SIMHASH_BITS):
+    """Random-hyperplane SimHash: bit b = sign(<v, h_b>) where hyperplane
+    h_b[i] = ±1 from xxhash64(b, i) parity — deterministic, no fitted state."""
+    def bit(b: int):
+        signed = F.aggregate(
+            F.zip_with(
+                emb_col,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(emb_col) - 1),
+                    lambda i: F.when(
+                        F.pmod(F.xxhash64(F.lit(b), i), F.lit(2)) == 0, F.lit(1.0)
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                lambda x, h: x.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(signed >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+
+    sig = F.lit(0)
+    for b in range(bits):
+        sig = sig + bit(b)
+    return sig.cast("long")
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via SimHash buckets: candidates share a signature, then exact
+    cosine re-scoring within buckets. Returns the same columns as the
+    brute-force query (rows-only check: recall < 1 by construction)."""
+    emb = _emb(spark, sf_dir).withColumn(
+        "sig", simhash_signature(F.col("embedding"))
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"), "sig"
+    )
+    cands = F.broadcast(queries).join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e"), "sig"),
+        "sig",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("q"), F.col("e")) / (_norm(F.col("q")) * _norm(F.col("e"))), 3).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )

@@ -1,0 +1,366 @@
+"""Training-data text operators over the ``documents`` table.
+
+Large-scale corpus-pipeline primitives, each expressed Spark-first (built-in
+column functions; no per-row Python) with a DuckDB-equivalent oracle:
+
+- exact deduplication (hash-groupBy)
+- n-gram/shingle Jaccard near-dup pairs (shingle join — the exact baseline
+  the MinHash path approximates)
+- MinHash + LSH banding near-dup candidates (portable md5-based min-hash so
+  Spark and DuckDB compute identical signatures)
+- document fingerprinting (md5 of normalized text)
+- token counting, quality scoring (length/punct/word stats)
+- language identification via stopword-hit scoring (regex counts, argmax
+  with deterministic tie-break)
+
+Scale notes: the shingle self-join is quadratic only within shingle-buckets
+(hot shingles are the skew risk — at crawl scale drop top-frequency shingles
+like stop-shingles); MinHash/LSH replaces the exact join with banded
+bucketing, which is the 10^12-doc path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+JACCARD_THRESHOLD = 0.5
+SHINGLE_WORDS = 3
+MINHASH_K = 8  # number of hash functions
+LSH_BANDS = 4  # rows per band = MINHASH_K / LSH_BANDS = 2
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _norm_text(col):
+    """lower + collapse whitespace + trim — shared normalization."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+# ------------------------------------------------------------- fingerprints
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", F.md5(_norm_text(F.col("text"))).alias("fingerprint")
+    )
+
+
+DOC_FINGERPRINT_SQL = f"""
+SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents
+"""
+
+
+def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical doc (min doc_id) per identical normalized text;
+    rows = every non-canonical duplicate, with its canonical id."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.md5(_norm_text(F.col("text"))).alias("fp")
+    )
+    canon = d.groupBy("fp").agg(F.min("doc_id").alias("canonical_id"))
+    return (
+        d.join(canon, "fp")
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id", "canonical_id")
+    )
+
+
+DOC_DEDUP_EXACT_SQL = f"""
+WITH fps AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents),
+canon AS (SELECT fp, MIN(doc_id) AS canonical_id FROM fps GROUP BY fp)
+SELECT f.doc_id, c.canonical_id
+FROM fps f JOIN canon c ON f.fp = c.fp
+WHERE f.doc_id <> c.canonical_id
+"""
+
+
+# ------------------------------------------------------- shingles / jaccard
+
+def _shingles(d: DataFrame) -> DataFrame:
+    """Distinct word-``SHINGLE_WORDS``-gram shingles per doc (md5-hashed)."""
+    words = d.select(
+        "doc_id", F.split(_norm_text(F.col("text")), " ").alias("w")
+    )
+    n = SHINGLE_WORDS
+    grams = words.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - F.lit(n)),
+                lambda i: F.array_join(F.slice("w", i + 1, n), " "),
+            )
+        ).alias("gram"),
+    )
+    return grams.select("doc_id", F.md5("gram").alias("sh")).distinct()
+
+
+_SHINGLES_SQL = f"""
+shingles AS (
+    SELECT DISTINCT doc_id,
+           md5(array_to_string(words[i + 1 : i + {SHINGLE_WORDS}], ' ')) AS sh
+    FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents),
+         UNNEST(range(len(words) - {SHINGLE_WORDS} + 1)) AS t(i)
+    WHERE len(words) >= {SHINGLE_WORDS}
+)"""
+
+
+def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs (>= threshold), a < b."""
+    sh = _shingles(_docs(spark, sf_dir)).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.withColumnRenamed("doc_id", "doc_a")
+    b = sh.withColumnRenamed("doc_id", "doc_b")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+DOC_JACCARD_SQL = f"""
+WITH {_SHINGLES_SQL.strip()},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+    FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(i.inter / (sa.n_sh + sb.n_sh - i.inter), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE ROUND(i.inter / (sa.n_sh + sb.n_sh - i.inter), 4) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ----------------------------------------------------------- minhash / LSH
+
+def q_doc_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs.
+
+    Portable signature: minhash_k(doc) = MIN(md5(k || ':' || shingle)) — the
+    lexicographic min of a keyed md5 is a valid min-hash permutation and is
+    computable identically in DuckDB. Docs sharing any LSH band (concat of
+    MINHASH_K/LSH_BANDS consecutive signature slots) become candidates.
+    """
+    sh = _shingles(_docs(spark, sf_dir))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh")))).alias(f"mh{k}")
+            for k in range(MINHASH_K)
+        ]
+    )
+    rows_per_band = MINHASH_K // LSH_BANDS
+    bands = None
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        one = sig.select(
+            "doc_id", F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("sig")
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    a = bands.withColumnRenamed("doc_id", "doc_a")
+    b2 = bands.withColumnRenamed("doc_id", "doc_b")
+    return (
+        a.join(b2, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def _minhash_sql() -> str:
+    mh_cols = ",\n           ".join(
+        f"MIN(md5('{k}:' || sh)) AS mh{k}" for k in range(MINHASH_K)
+    )
+    rows_per_band = MINHASH_K // LSH_BANDS
+    band_selects = []
+    for b in range(LSH_BANDS):
+        cols = " || '|' || ".join(
+            f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS sig FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+WITH {_SHINGLES_SQL.strip()},
+sig AS (
+    SELECT doc_id,
+           {mh_cols}
+    FROM shingles GROUP BY doc_id
+),
+bands AS ({bands})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+DOC_MINHASH_LSH_SQL = _minhash_sql()
+
+
+# ------------------------------------------------------------ text analysis
+
+def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    norm = _norm_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " "))).cast("long").alias("tokens"),
+    )
+
+
+DOC_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN {_NORM_SQL} = '' THEN 0
+            ELSE len(string_split({_NORM_SQL}, ' ')) END AS tokens
+FROM documents
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features: chars, tokens, mean token length, punctuation ratio."""
+    d = _docs(spark, sf_dir)
+    norm = _norm_text(F.col("text"))
+    chars = F.length(F.col("text"))
+    tokens = F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " ")))
+    punct = chars - F.length(F.regexp_replace(F.col("text"), r"[.,!?;:]", ""))
+    return d.select(
+        "doc_id",
+        chars.cast("long").alias("chars"),
+        tokens.cast("long").alias("tokens"),
+        F.round(punct / F.greatest(chars, F.lit(1)), 5).alias("punct_ratio"),
+        F.round(
+            (F.length(F.regexp_replace(norm, " ", "")))
+            / F.greatest(tokens, F.lit(1)),
+            4,
+        ).alias("mean_token_len"),
+    )
+
+
+DOC_QUALITY_SQL = f"""
+SELECT doc_id,
+       length(text) AS chars,
+       CASE WHEN {_NORM_SQL} = '' THEN 0 ELSE len(string_split({_NORM_SQL}, ' ')) END AS tokens,
+       ROUND((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+             / GREATEST(length(text), 1), 5) AS punct_ratio,
+       ROUND(length(replace({_NORM_SQL}, ' ', ''))
+             / GREATEST(CASE WHEN {_NORM_SQL} = '' THEN 0 ELSE len(string_split({_NORM_SQL}, ' ')) END, 1), 4) AS mean_token_len
+FROM documents
+"""
+
+
+# stopword alternations per language (tiny, deterministic scoring sets)
+_LANG_PATTERNS = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with|was)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|mit|für|auf)\b",
+    "fr": r"\b(le|la|les|et|est|une|des|dans|pour|que)\b",
+    "es": r"\b(el|la|los|las|es|una|para|con|del|por)\b",
+    "zh": r"(的|是|了|在|和|有|我|不|这|人)",
+}
+_LANG_ORDER = ["de", "en", "es", "fr", "zh"]  # tie-break: alphabetical
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-hit counts per language, argmax with
+    alphabetical tie-break. (A real pipeline would swap in fastText/CLD3;
+    the Spark-side shape — score columns + argmax — is the same.)"""
+    d = _docs(spark, sf_dir)
+    lowered = F.lower(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(F.regexp_extract_all(lowered, F.lit(pat), F.lit(0))).alias(f"s_{lang}")
+            for lang, pat in _LANG_PATTERNS.items()
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct((-F.col(f"s_{lang}")).alias("neg"), F.lit(lang).alias("lang"))
+            for lang in _LANG_ORDER
+        ]
+    )
+    return scored.select(
+        "doc_id",
+        F.array_min(pairs)["lang"].alias("predicted_lang"),
+        F.col("lang").alias("actual_lang"),
+    )
+
+
+def _lang_sql() -> str:
+    scores = ",\n       ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}')) AS s_{lang}"
+        for lang, pat in _LANG_PATTERNS.items()
+    )
+    # argmax with alphabetical tie-break via a sorted struct list
+    structs = ", ".join(f"{{'neg': -s_{lang}, 'lang': '{lang}'}}" for lang in _LANG_ORDER)
+    return f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+       {scores}
+    FROM documents
+)
+SELECT doc_id,
+       list_sort([{structs}])[1].lang AS predicted_lang,
+       lang AS actual_lang
+FROM scored
+"""
+
+
+DOC_LANG_ID_SQL = _lang_sql()
+
+
+def q_doc_lang_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus roll-up: per (source, lang) doc counts + avg length (the
+    "what's in my crawl" query every pipeline runs first)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+DOC_LANG_QUALITY_SQL = """
+SELECT source, lang, COUNT(*) AS docs, ROUND(AVG(n_chars), 2) AS avg_chars
+FROM documents GROUP BY source, lang ORDER BY source, lang
+"""
+
+
+def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: md5 over the running
+    concatenation of token md5 prefixes (a rolling-hash-style signature that
+    distinguishes permuted documents, unlike the bag-of-shingles md5)."""
+    d = _docs(spark, sf_dir)
+    norm = _norm_text(F.col("text"))
+    toks = F.split(norm, " ")
+    rolled = F.md5(
+        F.array_join(F.transform(toks, lambda t: F.substring(F.md5(t), 1, 8)), "")
+    )
+    return d.select("doc_id", rolled.alias("rolling_fp"))
+
+
+DOC_ROLLING_FP_SQL = f"""
+SELECT doc_id,
+       md5(array_to_string(list_transform(string_split({_NORM_SQL}, ' '),
+                                          t -> substr(md5(t), 1, 8)), '')) AS rolling_fp
+FROM documents
+"""

@@ -1,0 +1,118 @@
+"""Tests for corpus ops (textops), similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_token_count_matches_pandas(spark):
+    from linkgraph.textops import q_doc_token_count
+
+    got = q_doc_token_count(spark, SF).toPandas().set_index("doc_id")["tokens"]
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+
+    def count(t):
+        t = re.sub(r"\s+", " ", t.lower()).strip()
+        return 0 if t == "" else len(t.split(" "))
+
+    want = docs.set_index("doc_id")["text"].map(count)
+    assert (got.sort_index() == want.sort_index()).all()
+
+
+def test_exact_dedup_self_consistent(spark):
+    from linkgraph.textops import q_doc_dedup_exact, q_doc_fingerprint
+
+    fps = q_doc_fingerprint(spark, SF).toPandas()
+    dups = q_doc_dedup_exact(spark, SF).toPandas()
+    by_fp = fps.groupby("fingerprint")["doc_id"].agg(["min", "count"])
+    expected_dups = int((by_fp["count"] - 1).sum())
+    assert len(dups) == expected_dups
+    if len(dups):
+        # every reported canonical is the min doc_id of its fingerprint group
+        merged = dups.merge(fps, on="doc_id")
+        canon = fps.groupby("fingerprint")["doc_id"].min()
+        assert (merged["canonical_id"] == merged["fingerprint"].map(canon)).all()
+
+
+def test_minhash_lsh_superset_sanity(spark):
+    """LSH candidates must include every jaccard==1 exact pair (identical
+    shingle sets share every band signature)."""
+    from linkgraph.textops import q_doc_jaccard_pairs, q_doc_minhash_lsh_candidates
+
+    exact = q_doc_jaccard_pairs(spark, SF).toPandas()
+    cands = q_doc_minhash_lsh_candidates(spark, SF).toPandas()
+    full = exact[exact["jaccard"] >= 0.9999]
+    cand_set = {(a, b) for a, b in zip(cands["doc_a"], cands["doc_b"])}
+    for a, b in zip(full["doc_a"], full["doc_b"]):
+        assert (a, b) in cand_set
+
+
+def test_knn_bruteforce_matches_numpy(spark):
+    from linkgraph.simsearch import N_QUERIES, TOP_K, q_knn_bruteforce
+
+    got = q_knn_bruteforce(spark, SF).toPandas()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    # float64 like the engine (Spark casts each element to double)
+    M = np.stack(emb["embedding"].map(np.asarray)).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn @ Mn.T
+    for q in range(N_QUERIES):
+        qi = np.where(ids == q)[0][0]
+        s = np.round(sims[qi], 3)
+        order = sorted(
+            [(float(-s[j]), int(ids[j])) for j in range(len(ids)) if ids[j] != q]
+        )[:TOP_K]
+        want = [(v, -neg) for neg, v in order]
+        sub = got[got["query_id"] == q].sort_values("rn")
+        got_pairs = list(zip(sub["neighbor_id"], sub["cosine"]))
+        assert got_pairs == [(v, pytest.approx(c, abs=1e-9)) for v, c in want]
+
+
+def test_knn_lsh_returns_plausible_neighbors(spark):
+    from linkgraph.simsearch import N_QUERIES, q_knn_lsh
+
+    got = q_knn_lsh(spark, SF).toPandas()
+    assert set(got["query_id"].unique()) <= set(range(N_QUERIES))
+    assert (got["cosine"] <= 1.001).all() and len(got) > 0
+
+
+def test_multimodal_feature_plumbing(spark):
+    from linkgraph.multimodal import (
+        FEATURE_DIM,
+        decode_image_batch,
+        extract_media_features,
+        fake_feature_extractor,
+    )
+    from linkgraph.synth import gen_pages
+
+    pages = gen_pages(spark, 50)
+    out = extract_media_features(pages, key_col="url", payload_col="html").toPandas()
+    assert len(out) >= 50
+    assert all(len(f) == FEATURE_DIM for f in out["features"])
+    # deterministic: same payload -> same features, matches local extractor
+    row = pages.limit(1).toPandas().iloc[0]
+    local = fake_feature_extractor(row["html"])
+    spark_feats = out[out["key"] == row["url"]]["features"].iloc[0]
+    assert np.allclose(np.array(spark_feats, dtype=np.float32), local)
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(pd.Series([b"x"]))
+
+
+def test_lang_id_mostly_right_on_en(spark):
+    """Sanity: heuristic lang-id is deterministic and scores real English
+    docs as 'en' more often than any other label."""
+    from linkgraph.textops import q_doc_lang_id
+
+    got = q_doc_lang_id(spark, SF).toPandas()
+    en = got[got["actual_lang"] == "en"]
+    if len(en):
+        acc = (en["predicted_lang"] == "en").mean()
+        top = got["predicted_lang"].value_counts()
+        assert acc >= 0.5 or top.index[0] == "en"
