@@ -407,6 +407,193 @@ SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGE
 """
 
 
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets rollup over (status, priority) with grand totals."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 string family: lower/trim/substring/concat/regexp/split."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower(F.col("p_name")).alias("lname"),
+        F.substring(F.col("p_brand"), 1, 5).alias("brand5"),
+        F.concat_ws("/", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.regexp_extract(F.col("p_type"), r"^(\w+)", 1).alias("first_word"),
+        F.size(F.split(F.col("p_type"), " ")).alias("type_words"),
+    )
+
+
+_STRING_SQL = """
+SELECT p_partkey,
+       lower(p_name) AS lname,
+       substring(p_brand, 1, 5) AS brand5,
+       concat_ws('/', p_brand, p_type) AS brand_type,
+       regexp_extract(p_type, '^(\\w+)', 1) AS first_word,
+       len(string_split(p_type, ' ')) AS type_words
+FROM part
+"""
+
+
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 array family: split -> explode -> distinct counts per token."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split(F.lower(F.col("p_type")), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+    )
+
+
+_ARRAY_SQL = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(lower(p_type), ' ')) AS token FROM part)
+GROUP BY token ORDER BY n DESC, token ASC
+"""
+
+
+def q_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F7: abs/greatest/least/when-otherwise over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    # per-row double math is IEEE-deterministic — no rounding needed (and
+    # ROUND half-up vs half-even differs between engines on .xx5 boundaries)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") * F.col("l_discount") - F.col("l_tax") * 100).alias("adj"),
+        F.greatest("l_quantity", F.lit(10.0)).alias("qty_floor10"),
+        F.when(F.col("l_returnflag") == "R", F.lit("returned"))
+        .when(F.col("l_linestatus") == "O", F.lit("open"))
+        .otherwise(F.lit("closed"))
+        .alias("state"),
+    )
+
+
+_MATH_SQL = """
+SELECT l_orderkey, l_linenumber,
+       ABS(l_extendedprice * l_discount - l_tax * 100) AS adj,
+       GREATEST(l_quantity, 10.0) AS qty_floor10,
+       CASE WHEN l_returnflag = 'R' THEN 'returned'
+            WHEN l_linestatus = 'O' THEN 'open'
+            ELSE 'closed' END AS state
+FROM lineitem
+"""
+
+
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the same user's most recent prior
+    signup/view event (range join + window dedup — the DataFrame pattern
+    for time-series as-of semantics)."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("u"), F.col("ts").alias("pts")
+    )
+    priors = e.filter(F.col("event_type").isin("signup", "view")).select(
+        F.col("user_id").alias("u"), F.col("ts").alias("ets"), F.col("event_id").alias("prior_id")
+    )
+    # the time predicate belongs IN the left-join condition: filtering after
+    # the join would drop purchases whose priors are all later, instead of
+    # keeping them with a NULL prior
+    joined = purchases.join(
+        priors,
+        (purchases["u"] == priors["u"]) & (priors["ets"] <= purchases["pts"]),
+        "left",
+    ).select("purchase_id", purchases["u"].alias("user_id"), "ets", "prior_id")
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.desc_nulls_last("ets"), F.desc_nulls_last("prior_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("purchase_id", "user_id", "prior_id")
+    )
+
+
+_ASOF_SQL = """
+WITH purchases AS (
+    SELECT event_id AS purchase_id, user_id AS u, ts AS pts
+    FROM events WHERE event_type = 'purchase'
+),
+priors AS (
+    SELECT user_id AS u, ts AS ets, event_id AS prior_id
+    FROM events WHERE event_type IN ('signup', 'view')
+)
+SELECT purchase_id, u AS user_id, prior_id FROM (
+    SELECT p.purchase_id, p.u, pr.prior_id,
+           ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                              ORDER BY pr.ets DESC NULLS LAST, pr.prior_id DESC NULLS LAST) AS rn
+    FROM purchases p LEFT JOIN priors pr
+      ON p.u = pr.u AND pr.ets <= p.pts
+) WHERE rn = 1
+"""
+
+
+def q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 hash family: md5/sha2 (portable across engines; xxhash64 is
+    engine-internal and used for salting, not for oracle-checked output)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5(F.col("c_name")).alias("md5_name"),
+        F.sha2(F.col("c_name"), 256).alias("sha256_name"),
+    )
+
+
+_HASH_SQL = """
+SELECT c_custkey, md5(c_name) AS md5_name, sha256(c_name) AS sha256_name
+FROM customer
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 approx_count_distinct — rows-only (HLL implementations differ
+    between engines by design); exact countDistinct is the oracle-checked
+    twin below."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("customers"),
+        F.countDistinct("o_orderstatus").alias("statuses"),
+    )
+
+
+_COUNT_DISTINCT_SQL = """
+SELECT COUNT(DISTINCT o_custkey) AS customers,
+       COUNT(DISTINCT o_orderstatus) AS statuses
+FROM orders
+"""
+
+
 # ------------------------------------------------- pages pipeline (rows-only)
 
 def q_pages_pipeline_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,6 +650,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json_datetime": q_events_json_datetime,
     "dedup_distinct": q_dedup_distinct,
     "set_ops_except": q_set_ops,
+    "rollup_orders": q_rollup_orders,
+    "string_funcs": q_string_funcs,
+    "array_ops": q_array_ops,
+    "math_conditional": q_math_conditional,
+    "asof_join_events": q_asof_join_events,
+    "hash_funcs": q_hash_funcs,
+    "count_distinct": q_count_distinct,
+    "approx_distinct": q_approx_distinct,  # rows-only (HLL differs by engine)
     # training-data pipeline ops (documents / embeddings)
     "doc_fingerprint": textops.q_doc_fingerprint,
     "doc_dedup_exact": textops.q_doc_dedup_exact,
@@ -499,6 +694,13 @@ ORACLE_SQL: dict[str, str] = {
     "events_json_datetime": _EVENTS_SQL,
     "dedup_distinct": _DEDUP_SQL,
     "set_ops_except": _SET_OPS_SQL,
+    "rollup_orders": _ROLLUP_SQL,
+    "string_funcs": _STRING_SQL,
+    "array_ops": _ARRAY_SQL,
+    "math_conditional": _MATH_SQL,
+    "asof_join_events": _ASOF_SQL,
+    "hash_funcs": _HASH_SQL,
+    "count_distinct": _COUNT_DISTINCT_SQL,
     "doc_fingerprint": textops.DOC_FINGERPRINT_SQL,
     "doc_dedup_exact": textops.DOC_DEDUP_EXACT_SQL,
     "doc_jaccard_pairs": textops.DOC_JACCARD_SQL,
