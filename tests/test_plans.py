@@ -1,0 +1,89 @@
+"""Physical-plan audits: the plans we designed for must stay the plans.
+
+- Parquet scans receive pushed filters + pruned columns (Catalyst P2/P1).
+- The per-superstep gather join must NOT re-shuffle the persisted edge
+  table (its hash partitioning is reused; only vertex state moves).
+- Hot relational paths stay inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_and_projection_pushdown(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_quantity")
+    )
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [" in explained and "l_quantity" in explained.split("PushedFilters")[1][:200]
+    # column pruning: read schema contains only the two needed columns
+    read_schema = explained.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_superstep_join_reuses_edge_partitioning(spark, wiki_edges_df):
+    """The gather join must stream the persisted, pre-partitioned edge table
+    without an Exchange on the edge side (SURVEY.md §4: the single most
+    important physical decision in the loop)."""
+    edges = wiki_edges_df.select("src_id", "dst_id").repartition(8, "src_id").persist()
+    edges.count()
+    state = spark.range(200).select(
+        F.col("id"), F.lit(0.15).alias("rank"), F.lit(2).alias("out_deg")
+    ).localCheckpoint(eager=True)
+    contribs = state.select(
+        F.col("id").alias("src_id"), (F.col("rank") / F.col("out_deg")).alias("contrib")
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        msgs = edges.join(contribs, "src_id").groupBy("dst_id").agg(
+            F.sum("contrib").alias("s")
+        )
+        plan = _plan(msgs)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        edges.unpersist()
+    assert "InMemoryTableScan" in plan, plan
+    lines = plan.splitlines()
+    join_idx = next(i for i, l in enumerate(lines) if "Join" in l)
+    scan_idx = next(i for i, l in enumerate(lines) if "InMemoryTableScan" in l)
+    assert join_idx < scan_idx
+    # edge (stream) side: the cached scan must feed the join directly —
+    # any Exchange between them means the edge table is re-shuffled every
+    # superstep (exactly the plan regression this test guards against)
+    between = "\n".join(lines[join_idx + 1 : scan_idx])
+    assert "Exchange" not in between, plan
+
+
+def test_wholestage_codegen_on_agg_path(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    df.collect()  # AQE finalizes the plan only at execution
+    # "*(" prefixes mark operators inside a WholeStageCodegen stage
+    assert "*(" in _plan(df)
+
+
+def test_broadcast_join_planned_for_small_dim(spark):
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    df = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).select(
+        "c_custkey", "n_name"
+    )
+    assert "BroadcastHashJoin" in _plan(df)
