@@ -1,9 +1,11 @@
 """The four FlashGraph vertex programs as Spark DataFrame programs
 (SURVEY.md §2.1 A1–A4)."""
 
+from linkgraph.algos.bfs import bfs
+from linkgraph.algos.kcore import kcore
 from linkgraph.algos.labelprop import label_propagation
 from linkgraph.algos.pagerank import pagerank
 from linkgraph.algos.triangles import triangle_counts
 from linkgraph.algos.wcc import wcc
 
-__all__ = ["pagerank", "wcc", "label_propagation", "triangle_counts"]
+__all__ = ["pagerank", "wcc", "label_propagation", "triangle_counts", "bfs", "kcore"]

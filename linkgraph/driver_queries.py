@@ -206,6 +206,78 @@ FROM verts v LEFT JOIN per_vertex p ON p.id = v.id
 """
 
 
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed BFS hop distances from the smallest vertex id (A10/BFS);
+    unreached vertices report dist = -1."""
+    from linkgraph.algos.bfs import bfs
+
+    e = lineitem_edges(spark, sf_dir)
+    src0 = vertex_ids_from_edges(e).agg(F.min("id")).first()[0]
+    res = bfs(spark, e, sources=[src0])
+    return res.state.select("id", "dist")
+
+
+_BFS_SQL = f"""
+WITH RECURSIVE {_EDGES_SQL.strip()}, {_VERTS_SQL.strip()},
+walk(id, dist) AS (
+    SELECT (SELECT MIN(id) FROM verts), 0
+    UNION
+    SELECT e.dst_id, w.dist + 1
+    FROM walk w JOIN edges e ON e.src_id = w.id
+    WHERE w.dist < {N_GRAPH}
+)
+SELECT v.id, COALESCE(m.dist, -1) AS dist
+FROM verts v
+LEFT JOIN (SELECT id, MIN(dist) AS dist FROM walk GROUP BY id) m ON m.id = v.id
+"""
+
+KCORE_K = 3
+KCORE_ROUNDS = 10  # both engines run the same fixed synchronous peel rounds
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core membership + in-core degree after KCORE_ROUNDS synchronous
+    peel rounds (A10/k-core). The delta-peel engine is idempotent once
+    converged, so a fixed round count is exact-matchable."""
+    from linkgraph.algos.kcore import kcore
+
+    e = lineitem_edges(spark, sf_dir)
+    res = kcore(spark, e, k=KCORE_K, max_iters=KCORE_ROUNDS)
+    return res.state.filter(F.col("active")).select("id", "deg")
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    # each round references the previous round TWICE — without MATERIALIZED
+    # DuckDB inlines the CTE chain and the plan blows up 2^rounds
+    ctes = [
+        _EDGES_SQL.strip(),
+        _VERTS_SQL.strip(),
+        _SYM_SQL.strip().replace("sym AS (", "sym AS MATERIALIZED (", 1),
+        "s0 AS MATERIALIZED (SELECT id FROM verts)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+    SELECT s.id FROM s{i - 1} s
+    JOIN sym e ON e.src_id = s.id
+    JOIN s{i - 1} t ON t.id = e.dst_id
+    GROUP BY s.id HAVING COUNT(*) >= {k}
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT s.id, COUNT(*) AS deg
+FROM s{rounds} s
+JOIN sym e ON e.src_id = s.id
+JOIN s{rounds} t ON t.id = e.dst_id
+GROUP BY s.id"""
+    )
+
+
+_KCORE_SQL = _kcore_sql(KCORE_K, KCORE_ROUNDS)
+
+
 def q_graph_symmetrize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return symmetrize(lineitem_edges(spark, sf_dir))
 
@@ -640,6 +712,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_wcc": q_graph_wcc,
     "graph_lp_1round": q_graph_lp_1round,
     "graph_triangles": q_graph_triangles,
+    "graph_bfs": q_graph_bfs,
+    "graph_kcore": q_graph_kcore,
     "graph_top10_pagerank": q_graph_top10_pagerank,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "join_filter": q_join_filter,
@@ -663,6 +737,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dedup_exact": textops.q_doc_dedup_exact,
     "doc_jaccard_pairs": textops.q_doc_jaccard_pairs,
     "doc_minhash_lsh": textops.q_doc_minhash_lsh_candidates,
+    "doc_simhash": textops.q_doc_simhash,
+    "doc_simhash_near_dups": textops.q_doc_simhash_near_dups,
     "doc_token_count": textops.q_doc_token_count,
     "doc_quality": textops.q_doc_quality,
     "doc_lang_id": textops.q_doc_lang_id,
@@ -684,6 +760,8 @@ ORACLE_SQL: dict[str, str] = {
     "graph_wcc": _WCC_SQL,
     "graph_lp_1round": _LP1_SQL,
     "graph_triangles": _TRI_SQL,
+    "graph_bfs": _BFS_SQL,
+    "graph_kcore": _KCORE_SQL,
     "graph_top10_pagerank": _TOP10_SQL,
     "lineitem_pricing_summary": _PRICING_SQL,
     "join_filter": _JOIN_FILTER_SQL,
@@ -705,6 +783,8 @@ ORACLE_SQL: dict[str, str] = {
     "doc_dedup_exact": textops.DOC_DEDUP_EXACT_SQL,
     "doc_jaccard_pairs": textops.DOC_JACCARD_SQL,
     "doc_minhash_lsh": textops.DOC_MINHASH_LSH_SQL,
+    "doc_simhash": textops.DOC_SIMHASH_SQL,
+    "doc_simhash_near_dups": textops.DOC_SIMHASH_NEAR_DUPS_SQL,
     "doc_token_count": textops.DOC_TOKEN_COUNT_SQL,
     "doc_quality": textops.DOC_QUALITY_SQL,
     "doc_lang_id": textops.DOC_LANG_ID_SQL,

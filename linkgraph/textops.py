@@ -213,6 +213,129 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.
 DOC_MINHASH_LSH_SQL = _minhash_sql()
 
 
+# ------------------------------------------------------------------ simhash
+
+SIMHASH_DOC_BITS = 16
+SIMHASH_HAMMING_MAX = 3
+_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+
+def _doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — word-level SimHash, portable across engines.
+
+    Bit j of the signature = sign (>= 0) of the sum over the doc's distinct
+    words of ±1, where the ±1 is the parity of hex digit j of md5(word).
+    md5 is available verbatim in both Spark and DuckDB, so the oracle
+    computes byte-identical signatures (convention pinned here).
+    """
+    d = _docs(spark, sf_dir)
+    words = (
+        d.select("doc_id", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+        .withColumn("h", F.md5("w"))
+    )
+    sums = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring("h", j + 1, 1).isin(*_ODD_HEX), F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_DOC_BITS)
+        ]
+    )
+    sig = F.lit(0)
+    for j in range(SIMHASH_DOC_BITS):
+        sig = sig + F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return sums.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _doc_simhash(spark, sf_dir)
+
+
+def _simhash_sql_core() -> str:
+    odd = ", ".join(f"'{c}'" for c in _ODD_HEX)
+    s_cols = ",\n           ".join(
+        f"SUM(CASE WHEN substr(h, {j + 1}, 1) IN ({odd}) THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_DOC_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_DOC_BITS)
+    )
+    return f"""
+words AS (
+    SELECT DISTINCT doc_id, md5(w) AS h
+    FROM (SELECT doc_id, UNNEST(string_split({_NORM_SQL}, ' ')) AS w FROM documents)
+    WHERE w <> ''
+),
+sums AS (
+    SELECT doc_id,
+           {s_cols}
+    FROM words GROUP BY doc_id
+),
+sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums)"""
+
+
+DOC_SIMHASH_SQL = f"""
+WITH {_simhash_sql_core().strip()}
+SELECT doc_id, simhash FROM sig
+"""
+
+
+def q_doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: LSH banding (2 bands of 8 bits) proposes
+    candidates, exact Hamming distance <= SIMHASH_HAMMING_MAX confirms.
+    The band step is what makes this linear-ish at crawl scale — only
+    docs agreeing on half the signature are ever paired."""
+    sig = _doc_simhash(spark, sf_dir)
+    bands = sig.select(
+        "doc_id", "simhash", F.lit(0).alias("band"), (F.col("simhash") % 256).alias("key")
+    ).unionByName(
+        sig.select(
+            "doc_id",
+            "simhash",
+            F.lit(1).alias("band"),
+            F.floor(F.col("simhash") / 256).cast("long").alias("key"),
+        )
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "key"
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+DOC_SIMHASH_NEAR_DUPS_SQL = f"""
+WITH {_simhash_sql_core().strip()},
+bands AS (
+    SELECT doc_id, simhash, 0 AS band, simhash % 256 AS key FROM sig
+    UNION ALL
+    SELECT doc_id, simhash, 1 AS band, simhash // 256 AS key FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
+"""
+
+
 # ------------------------------------------------------------ text analysis
 
 def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -74,6 +74,46 @@ def test_triangles_exact(spark, wiki_edges_df, wiki_vertices_df):
     assert (got == want).all()
 
 
+def test_bfs_matches_networkx(spark, wiki_edges_df, wiki_vertices_df, wiki_edges):
+    """Directed BFS hop distances from vertex 0 == networkx shortest paths
+    (unreached = -1)."""
+    import networkx as nx
+
+    from linkgraph.algos import bfs
+    from linkgraph.synth import WIKI_VOTE_N
+
+    res = bfs(spark, wiki_edges_df, sources=[0], vertices=wiki_vertices_df)
+    got = _vec(res.state.select("id", "dist"), "dist")
+    g = nx.DiGraph()
+    g.add_nodes_from(range(WIKI_VOTE_N))
+    g.add_edges_from(map(tuple, wiki_edges))
+    sp = nx.single_source_shortest_path_length(g, 0)
+    want = np.array([sp.get(v, -1) for v in range(WIKI_VOTE_N)], dtype=np.int64)
+    assert (got == want).all()
+
+
+def test_kcore_matches_networkx(spark, wiki_edges_df, wiki_vertices_df, wiki_edges):
+    """k-core membership + in-core degree == networkx k_core on the
+    symmetrized simple graph."""
+    import networkx as nx
+
+    from linkgraph.algos import kcore
+    from linkgraph.synth import WIKI_VOTE_N
+
+    k = 5
+    res = kcore(spark, wiki_edges_df, k=k, vertices=wiki_vertices_df)
+    got = (
+        res.state.filter("active").select("id", "deg").toPandas().sort_values("id")
+    )
+    g = nx.Graph()
+    g.add_nodes_from(range(WIKI_VOTE_N))
+    g.add_edges_from((int(a), int(b)) for a, b in wiki_edges if a != b)
+    core = nx.k_core(g, k)
+    assert got.id.tolist() == sorted(core.nodes)
+    want_deg = {v: d for v, d in core.degree()}
+    assert got.set_index("id")["deg"].to_dict() == want_deg
+
+
 @pytest.mark.slow
 def test_hub_stress_vertex_cut(spark):
     """CSR kernel with a forced low hub threshold == oracle on the
