@@ -451,6 +451,37 @@ ORDER BY day, event_type
 """
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based user sessionization (lag + running-sum window frames —
+    W frame specs). Batch twin of the streaming stateful operator
+    (linkgraph/streaming.py sessionize_stream)."""
+    from linkgraph.streaming import sessionize_events
+
+    return sessionize_events(_t(spark, sf_dir, "events"))
+
+
+_SESSIONIZE_SQL = """
+WITH marked AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                     OR epoch(ts) - epoch(LAG(ts) OVER w) > 21600
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT *, SUM(new_sess) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+    ) AS session_no
+    FROM marked
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
+FROM sess GROUP BY user_id, session_no
+"""
+
+
 def q_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3: dedup over a projection."""
     o = _t(spark, sf_dir, "orders")
@@ -722,6 +753,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anti_join": q_anti_join,
     "window_topk_per_group": q_window_topk_per_group,
     "events_json_datetime": q_events_json_datetime,
+    "events_sessionize": q_events_sessionize,
     "dedup_distinct": q_dedup_distinct,
     "set_ops_except": q_set_ops,
     "rollup_orders": q_rollup_orders,
@@ -770,6 +802,7 @@ ORACLE_SQL: dict[str, str] = {
     "anti_join": _ANTI_SQL,
     "window_topk_per_group": _WINDOW_TOPK_SQL,
     "events_json_datetime": _EVENTS_SQL,
+    "events_sessionize": _SESSIONIZE_SQL,
     "dedup_distinct": _DEDUP_SQL,
     "set_ops_except": _SET_OPS_SQL,
     "rollup_orders": _ROLLUP_SQL,

@@ -3,19 +3,25 @@
 The reference engine is batch-iterative — FlashGraph has no streaming
 (SURVEY.md §2.3 "Streaming") — so this module is deliberately small: it
 shows how the same DataFrame programs run incrementally over the ``events``
-table with watermarked tumbling windows, which is the Spark-native path a
-production crawl pipeline would use for continuous ingest (new WARC batches
--> incremental edge-table upserts).
+table, which is the Spark-native path a production crawl pipeline would use
+for continuous ingest (new WARC batches -> incremental edge-table upserts):
 
-``run_windowed_counts_once`` uses the availableNow trigger so tests can
-drive a real streaming query to completion against static parquet and
-compare it with the batch equivalent (exactly-once semantics make the two
-results identical).
+- watermarked tumbling-window aggregation (``windowed_event_counts``);
+- a **custom stateful operator** via ``applyInPandasWithState``
+  (``sessionize_stream``): gap-based user sessionization, the canonical
+  op that windowed aggregation cannot express (session extent depends on
+  the data, not the clock grid). The batch twin (``sessionize_events``,
+  lag + running-sum window frames) is DuckDB-oracle-checked and the test
+  suite proves stream ≡ batch for all closed sessions.
+
+``run_*_once`` helpers use the availableNow trigger so tests can drive a
+real streaming query to completion against static parquet and compare it
+with the batch equivalent.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -60,6 +66,165 @@ def windowed_event_counts(events: DataFrame) -> DataFrame:
             "value_sum",
         )
     )
+
+
+SESSION_GAP_SECONDS = 6 * 3600  # new session after 6h of user inactivity
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("session_no", LongType(), True),
+        StructField("session_start", TimestampType(), True),
+        StructField("session_end", TimestampType(), True),
+        StructField("n_events", LongType(), True),
+        StructField("value_sum", DoubleType(), True),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("session_no", LongType(), True),
+        StructField("start_us", LongType(), True),
+        StructField("last_us", LongType(), True),
+        StructField("n_events", LongType(), True),
+        StructField("value_sum", DoubleType(), True),
+    ]
+)
+
+
+def sessionize_events(events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) -> DataFrame:
+    """Batch gap-sessionization: a session breaks where the inter-event gap
+    exceeds ``gap_seconds`` (lag + running sum over an ordered frame —
+    SURVEY.md §2.3 W "frame specs"). ``session_no`` is 1-based per user in
+    time order, so the output is exactly reproducible by the streaming
+    stateful operator."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts may load as TIMESTAMP_NTZ (no direct double cast); the extra
+    # timestamp cast is zone-offset-invariant under subtraction
+    ts_secs = F.col("ts").cast("timestamp").cast("double")
+    gap = ts_secs - F.lag(ts_secs).over(w)
+    marked = events.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > gap_seconds), F.lit(1)).otherwise(F.lit(0)),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = marked.withColumn("session_no", F.sum("new_sess").over(wsum))
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+    )
+
+
+def _sessionize_fn(gap_seconds: int):
+    """Build the applyInPandasWithState update function (one user per key).
+
+    State = the currently-open session; each micro-batch appends its rows
+    in time order, emitting every session that a later event closes. Open
+    sessions stay in state across triggers (closed-session output is
+    therefore identical to the batch twin minus each user's final session).
+    """
+    import pandas as pd
+
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdfs, state):
+        user_id = key[0]
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        # robust to the pandas datetime resolution Arrow hands over (ns or us)
+        ts_us = pd.Series(rows["ts"].values.astype("datetime64[us]").astype("int64"))
+        vals = rows["value"].astype("float64")
+
+        if state.exists:
+            session_no, start_us, last_us, n_events, value_sum = state.get
+        else:
+            session_no, start_us, last_us, n_events, value_sum = 0, None, None, 0, 0.0
+
+        out = []
+        for t, v in zip(ts_us.tolist(), vals.tolist()):
+            if start_us is None:
+                session_no, start_us, last_us, n_events, value_sum = 1, t, t, 1, v
+            elif t - last_us > gap_us:
+                out.append((session_no, start_us, last_us, n_events, value_sum))
+                session_no, start_us, last_us, n_events, value_sum = (
+                    session_no + 1, t, t, 1, v,
+                )
+            else:
+                last_us, n_events, value_sum = t, n_events + 1, value_sum + v
+        state.update((session_no, start_us, last_us, n_events, value_sum))
+
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out),
+                    "session_no": [o[0] for o in out],
+                    "session_start": pd.to_datetime([o[1] for o in out], unit="us"),
+                    "session_end": pd.to_datetime([o[2] for o in out], unit="us"),
+                    "n_events": [o[3] for o in out],
+                    "value_sum": [round(o[4], 2) for o in out],
+                }
+            )
+
+    return fn
+
+
+def sessionize_stream(
+    events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS
+) -> DataFrame:
+    """Streaming twin of ``sessionize_events`` as a custom stateful operator
+    (applyInPandasWithState). Emits a session when a later event closes it."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn(gap_seconds),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_sessionize_stream_once(
+    spark: SparkSession,
+    events_path: str,
+    out_dir: str,
+    checkpoint_location: str,
+) -> DataFrame:
+    """Drive the stateful sessionization to completion (availableNow, file
+    micro-batches) into a parquet sink; returns ALL sessions emitted so far.
+
+    Repeated calls against a growing input directory resume from the stream
+    checkpoint and process only new files — the test harness uses this to
+    feed deterministic in-order micro-batches (event-time order across
+    files is the ingest contract; the watermark bounds how late data may
+    arrive in production). The parquet sink is the checkpoint-recoverable
+    sink (memory sink is not), and is what a production run would use.
+    """
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_path)
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_location)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(SESSION_SCHEMA).parquet(out_dir)
 
 
 def run_windowed_counts_once(
