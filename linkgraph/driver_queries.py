@@ -778,6 +778,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_rolling_fingerprint": textops.q_doc_rolling_fingerprint,
     "knn_bruteforce": simsearch.q_knn_bruteforce,
     "knn_lsh": simsearch.q_knn_lsh,
+    "knn_ivf": simsearch.q_knn_ivf,  # rows-only (ANN: recall floor pinned in tests)
     "embedding_label_norms": simsearch.q_embedding_label_norms,
     # rows-only (non-SQL-expressible inputs: synthesized pages)
     "pages_pipeline_top10": q_pages_pipeline_top10,

@@ -100,6 +100,115 @@ FROM embeddings GROUP BY label ORDER BY label
 """
 
 
+IVF_CENTROIDS = 16
+IVF_NPROBE = 6
+IVF_KMEANS_ITERS = 3
+
+
+def _assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cell): max-cosine cell per vector — one
+    broadcast-join pass over the data (the shape that scales: cells
+    partition the corpus, so query probing later touches only
+    nprobe/n_centroids of it)."""
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        (_dot(F.col("embedding"), F.col("cvec"))
+         / (_norm(F.col("embedding")) * _norm(F.col("cvec")))).alias("ccos"),
+    )
+    wbest = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(wbest))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    kmeans_iters: int = IVF_KMEANS_ITERS,
+):
+    """IVF coarse quantizer, deterministic end-to-end: seed centroids are
+    the ``n_centroids`` vectors with smallest xxhash64(vec_id) (a
+    deterministic sample), refined by ``kmeans_iters`` Lloyd iterations —
+    assign to max-cosine cell, recompute each cell's element-wise mean
+    (posexplode → groupBy(cell, dim) avg → re-assemble), repeat. All
+    JVM-side column ops; per iteration one broadcast join + two shuffles
+    of (cell, dim) partials, independent of corpus size per-row.
+
+    Returns (centroids_df(cell, cvec), assign_df(vec_id, embedding, cell)).
+    """
+    w = Window.orderBy(F.xxhash64(F.col("vec_id")), F.asc("vec_id"))
+    centroids = (
+        emb.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_centroids)
+        .select(F.col("__rn").alias("cell"), F.col("embedding").alias("cvec"))
+    )
+    for _ in range(kmeans_iters):
+        assign = _assign_cells(emb, centroids)
+        centroids = (
+            assign.select("cell", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("cvec")
+            )
+        )
+    return centroids, _assign_cells(emb, centroids)
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF cells: each query probes its IVF_NPROBE nearest cells
+    and exact-rescoring runs only inside them. Same output columns as the
+    brute-force query (rows-only check: recall < 1 by construction; the
+    test suite pins a recall floor vs knn_bruteforce)."""
+    emb = _emb(spark, sf_dir)
+    centroids, assign = ivf_assign(emb)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    qcells = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "q",
+            "cell",
+            (_dot(F.col("q"), F.col("cvec"))
+             / (_norm(F.col("q")) * _norm(F.col("cvec")))).alias("ccos"),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("__rn") <= IVF_NPROBE)
+        .select("query_id", "q", "cell")
+    )
+    cands = F.broadcast(qcells).join(
+        assign.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e"), "cell"),
+        "cell",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("q"), F.col("e")) / (_norm(F.col("q")) * _norm(F.col("e"))), 3).alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
 def simhash_signature(emb_col, bits: int = SIMHASH_BITS):
     """Random-hyperplane SimHash: bit b = sign(<v, h_b>) where hyperplane
     h_b[i] = ±1 from xxhash64(b, i) parity — deterministic, no fitted state."""

@@ -83,6 +83,24 @@ def test_knn_lsh_returns_plausible_neighbors(spark):
     assert (got["cosine"] <= 1.001).all() and len(got) > 0
 
 
+def test_knn_ivf_recall_floor(spark):
+    """IVF probing must recover most of the exact top-k (recall@k >= 0.6 on
+    the fixture embeddings — label-clustered, so probing IVF_NPROBE of 16
+    k-means-refined cells covers the true neighbors of most queries)."""
+    from linkgraph.simsearch import N_QUERIES, TOP_K, q_knn_bruteforce, q_knn_ivf
+
+    exact = q_knn_bruteforce(spark, SF).toPandas()
+    approx = q_knn_ivf(spark, SF).toPandas()
+    hits = total = 0
+    for q in range(N_QUERIES):
+        want = set(exact[exact["query_id"] == q]["neighbor_id"])
+        got = set(approx[approx["query_id"] == q]["neighbor_id"])
+        hits += len(want & got)
+        total += len(want)
+    assert total == N_QUERIES * TOP_K
+    assert hits / total >= 0.6, f"recall@{TOP_K} = {hits / total:.2f}"
+
+
 def test_multimodal_feature_plumbing(spark):
     from linkgraph.multimodal import (
         FEATURE_DIM,
