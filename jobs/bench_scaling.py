@@ -109,7 +109,11 @@ def render_md(n, n4, args, results, cpu_lo, cpu_hi, cpu_eff) -> str:
         f"- Input: deterministic power-law digraph, |V|={args.vertices:,}, "
         f"~|E|={args.edges:,} (linkgraph/benchgen.py)",
         f"- Job: PageRank, {args.iters} supersteps, eps=0 (fixed work per iter);",
-        "  steady-state sec/superstep = median after 2 warmup iterations",
+        "  steady-state sec/superstep = MIN after 2 warmup iterations (noise",
+        "  floor: the sandbox VM shows bursty hypervisor CPU-steal stalls of",
+        "  10-50 s on random supersteps — visible as outliers in the raw",
+        "  per-iteration JSON below; each superstep does identical work, so",
+        "  the minimum estimates true cost, same rationale as timeit)",
         f"- Host: 32 physical cores (1 thread/core), 125 GiB RAM, PySpark 4.1.2,",
         "  OpenJDK 17, tmpfs shuffle dirs; single-JVM local mode",
         "",

@@ -14,7 +14,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import statistics
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -59,9 +58,11 @@ def main() -> None:
     print(f"edges={n_edges}, max out-degree={top['count']} (src {top['src_id']})", flush=True)
 
     def steady(res):
+        # min of post-warmup supersteps (noise floor under bursty
+        # hypervisor CPU-steal — see BENCH/BASELINE.md protocol note)
         per = [m["seconds"] for m in res.metrics]
         tail = per[2:] if len(per) > 3 else per
-        return statistics.median(tail)
+        return min(tail)
 
     results = {}
     for name, kwargs in [

@@ -137,6 +137,13 @@ def q_graph_pagerank_5iter_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_graph_pagerank_5iter_sem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics via the semi-external kernel (V3 ≡ V1 gate)."""
+    e = lineitem_edges(spark, sf_dir)
+    res = pagerank(spark, e, max_iters=5, eps=0.0, kernel="sem", partitions=8)
+    return res.state.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = lineitem_edges(spark, sf_dir)
     res = wcc(spark, e)
@@ -740,6 +747,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_symmetrize": q_graph_symmetrize,
     "graph_pagerank_5iter": q_graph_pagerank_5iter,
     "graph_pagerank_5iter_csr": q_graph_pagerank_5iter_csr,
+    "graph_pagerank_5iter_sem": q_graph_pagerank_5iter_sem,
     "graph_wcc": q_graph_wcc,
     "graph_lp_1round": q_graph_lp_1round,
     "graph_triangles": q_graph_triangles,
@@ -790,6 +798,7 @@ ORACLE_SQL: dict[str, str] = {
     "graph_symmetrize": _SYMMETRIZE_SQL,
     "graph_pagerank_5iter": _pagerank_sql(5),
     "graph_pagerank_5iter_csr": _pagerank_sql(5),
+    "graph_pagerank_5iter_sem": _pagerank_sql(5),
     "graph_wcc": _WCC_SQL,
     "graph_lp_1round": _LP1_SQL,
     "graph_triangles": _TRI_SQL,

@@ -44,6 +44,20 @@ def test_pagerank_csr_equals_sql_kernel(spark, wiki_edges_df, wiki_vertices_df, 
     assert np.allclose(a, want, rtol=0, atol=1e-12)
 
 
+def test_pagerank_sem_equals_sql_kernel(spark, wiki_edges_df, wiki_vertices_df, tmp_path):
+    """V3 "sem" (semi-external adjacency blocks, worker-cached) ≡ V1 within
+    1e-12, including the vertex-cut path (forced low hub threshold)."""
+    sql_r = pagerank(spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=12, eps=0.0)
+    sem_r = pagerank(
+        spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=12, eps=0.0,
+        kernel="sem", partitions=8, hub_threshold=50,
+        layout_dir=str(tmp_path / "sem_layout"),
+    )
+    a = _vec(sql_r.state.select("id", "rank"), "rank")
+    b = _vec(sem_r.state.select("id", "rank"), "rank")
+    assert np.allclose(a, b, rtol=0, atol=1e-12)
+
+
 def test_pagerank_salted_equals_plain(spark, wiki_edges_df, wiki_vertices_df):
     plain = pagerank(spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=8, eps=0.0)
     salted = pagerank(
