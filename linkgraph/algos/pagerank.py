@@ -1,8 +1,9 @@
-"""PageRank (SURVEY.md §2.1 A1) — two superstep kernels.
+"""PageRank (SURVEY.md §2.1 A1) — three superstep kernels.
 
 Convention (pinned in linkgraph/conventions.py; oracle-matched):
 pull-based, d=0.85, r0 = 1-d, r(v) = (1-d) + d * Σ_{u→v} r(u)/outdeg(u),
 dangling vertices contribute nothing; converge on max |Δr| < eps.
+Personalized variant: teleport term (1-d)·1{v ∈ S} (same kernels).
 
 Kernel V1 "pure-SQL": gather = edges ⋈ state on src_id, combine =
 groupBy(dst_id).sum (Spark's partial aggregation IS the message combiner),
@@ -39,28 +40,50 @@ from linkgraph.engine import RunResult, SuperstepEngine
 from linkgraph.skew import salted_agg
 
 
-def _initial_state(edges: DataFrame, vertices: DataFrame | None, damping: float) -> DataFrame:
+def _base_expr(damping: float, personalized: list[int] | None):
+    """The teleport term: uniform (1-d) for classic PageRank, or
+    (1-d)·1{v ∈ S} for personalized PageRank (random walk restarts only at
+    the source set S — same superstep kernel, different apply constant)."""
+    if personalized is None:
+        return F.lit(1.0 - damping)
+    return F.when(
+        F.col("id").isin([int(s) for s in personalized]), F.lit(1.0 - damping)
+    ).otherwise(F.lit(0.0))
+
+
+def _initial_state(
+    edges: DataFrame,
+    vertices: DataFrame | None,
+    damping: float,
+    personalized: list[int] | None = None,
+) -> DataFrame:
     ids = vertices.select("id") if vertices is not None else vertex_ids_from_edges(edges)
     out_deg = edges.groupBy(F.col("src_id").alias("id")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
     return ids.join(out_deg, "id", "left").select(
         "id",
-        F.lit(1.0 - damping).alias("rank"),
+        _base_expr(damping, personalized).alias("rank"),
         F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
     )
 
 
-def _apply(state: DataFrame, msgs: DataFrame, damping: float) -> DataFrame:
+def _apply(
+    state: DataFrame,
+    msgs: DataFrame,
+    damping: float,
+    personalized: list[int] | None = None,
+) -> DataFrame:
     """apply step: new rank + old rank kept for the convergence action."""
-    return (
-        state.join(msgs, state["id"] == msgs["dst_id"], "left")
-        .select(
-            state["id"],
-            (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(F.col("sum_contrib"), F.lit(0.0))).alias("rank"),
-            state["out_deg"],
-            state["rank"].alias("prev_rank"),
-        )
+    joined = state.join(msgs, state["id"] == msgs["dst_id"], "left")
+    return joined.select(
+        state["id"],
+        (
+            _base_expr(damping, personalized)
+            + F.lit(damping) * F.coalesce(F.col("sum_contrib"), F.lit(0.0))
+        ).alias("rank"),
+        state["out_deg"],
+        state["rank"].alias("prev_rank"),
     )
 
 
@@ -88,6 +111,7 @@ def pagerank(
     engine: SuperstepEngine | None = None,
     resume: bool = False,
     layout_dir: str | None = None,
+    personalized: list[int] | None = None,
 ) -> RunResult:
     """Run PageRank to convergence; result state = (id, rank, out_deg, prev_rank).
 
@@ -95,6 +119,9 @@ def pagerank(
     applyInPandas SpMV), or "sem" (semi-external: adjacency blocks live as
     parquet on storage, cached in Python workers; only vertex state crosses
     Arrow per superstep — the FlashGraph SEM architecture, FAST'15 §2).
+
+    personalized: optional source-vertex set S; the teleport term becomes
+    (1-d)·1{v ∈ S} (personalized PageRank / random walk with restart).
     """
     engine = engine or SuperstepEngine(spark)
     partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -105,15 +132,15 @@ def pagerank(
     # This is the Spark analogue of FlashGraph keeping the graph image
     # partitioned across SSDs while vertex state moves (FAST'15 §3.6).
     edges = edges.select("src_id", "dst_id").repartition(partitions, "src_id").persist()
-    state0 = _initial_state(edges, vertices, damping).withColumn(
+    state0 = _initial_state(edges, vertices, damping, personalized).withColumn(
         "prev_rank", F.lit(0.0)
     )
 
     tmp_layout = None
     if kernel == "sql":
-        step = _make_sql_step(edges, damping, salted)
+        step = _make_sql_step(edges, damping, salted, personalized)
     elif kernel == "csr":
-        step = _make_csr_step(spark, edges, damping, partitions, hub_threshold)
+        step = _make_csr_step(spark, edges, damping, partitions, hub_threshold, personalized)
     elif kernel == "sem":
         if layout_dir is None:
             import tempfile
@@ -121,7 +148,7 @@ def pagerank(
             tmp_layout = tempfile.mkdtemp(prefix="linkgraph_sem_")
             layout_dir = tmp_layout
         step = _make_sem_step(
-            spark, edges, damping, partitions, hub_threshold, layout_dir
+            spark, edges, damping, partitions, hub_threshold, layout_dir, personalized
         )
     else:
         raise ValueError(f"unknown kernel {kernel!r}")
@@ -139,7 +166,8 @@ def pagerank(
 
 # ------------------------------------------------------------------ kernel V1
 
-def _make_sql_step(edges: DataFrame, damping: float, salted: bool):
+def _make_sql_step(edges: DataFrame, damping: float, salted: bool,
+                   personalized: list[int] | None = None):
     def step(state: DataFrame, iteration: int) -> DataFrame:
         contribs = state.filter(F.col("out_deg") > 0).select(
             F.col("id").alias("src_id"),
@@ -152,7 +180,7 @@ def _make_sql_step(edges: DataFrame, damping: float, salted: bool):
             ).withColumnRenamed("contrib", "sum_contrib")
         else:
             msgs = gathered.groupBy("dst_id").agg(F.sum("contrib").alias("sum_contrib"))
-        return _apply(state, msgs, damping)
+        return _apply(state, msgs, damping, personalized)
 
     return step
 
@@ -265,6 +293,7 @@ def _make_csr_step(
     damping: float,
     partitions: int,
     hub_threshold: int,
+    personalized: list[int] | None = None,
 ):
     edges_parts, hubs, n_hubs = _routed_edges(edges, partitions, hub_threshold)
     edges_parts = edges_parts.repartition(partitions, "part").persist()
@@ -287,7 +316,7 @@ def _make_csr_step(
             .applyInPandas(kernel, schema="dst_id long, contrib double")
         )
         msgs = partials.groupBy("dst_id").agg(F.sum("contrib").alias("sum_contrib"))
-        return _apply(state, msgs, damping)
+        return _apply(state, msgs, damping, personalized)
 
     return step
 
@@ -366,6 +395,7 @@ def _make_sem_step(
     partitions: int,
     hub_threshold: int,
     layout_dir: str,
+    personalized: list[int] | None = None,
 ):
     edges_parts, hubs, n_hubs = _routed_edges(edges, partitions, hub_threshold)
     # the graph "image": written once, hive-partitioned by block id — on a
@@ -385,6 +415,6 @@ def _make_sem_step(
             kernel, schema="dst_id long, contrib double"
         )
         msgs = partials.groupBy("dst_id").agg(F.sum("contrib").alias("sum_contrib"))
-        return _apply(state, msgs, damping)
+        return _apply(state, msgs, damping, personalized)
 
     return step

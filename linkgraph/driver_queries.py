@@ -137,6 +137,45 @@ def q_graph_pagerank_5iter_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", F.round("rank", 6).alias("rank"))
 
 
+PPR_SOURCES = [0, 1, 2]
+
+
+def q_graph_ppr_5iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (teleport restricted to PPR_SOURCES), 5 fixed
+    iterations — same superstep kernel, source-indicator teleport term."""
+    e = lineitem_edges(spark, sf_dir)
+    res = pagerank(spark, e, max_iters=5, eps=0.0, personalized=PPR_SOURCES)
+    return res.state.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _ppr_sql(iters: int, sources: list[int]) -> str:
+    src = ", ".join(str(s) for s in sources)
+    base = f"CASE WHEN v.id IN ({src}) THEN 0.15 ELSE 0.0 END"
+    ctes = [
+        _EDGES_SQL,
+        _VERTS_SQL,
+        "deg AS (SELECT src_id AS id, COUNT(*) AS out_deg FROM edges GROUP BY src_id)",
+        f"r0 AS (SELECT v.id, CAST({base} AS DOUBLE) AS rank FROM verts v)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""r{k} AS (
+    SELECT v.id, {base} + 0.85 * COALESCE(s.sum_contrib, 0) AS rank
+    FROM verts v LEFT JOIN (
+        SELECT e.dst_id AS id, SUM(r.rank / d.out_deg) AS sum_contrib
+        FROM edges e
+        JOIN r{k - 1} r ON e.src_id = r.id
+        JOIN deg d ON d.id = e.src_id
+        GROUP BY e.dst_id
+    ) s ON s.id = v.id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(rank, 6) AS rank FROM r{iters}"
+    )
+
+
 def q_graph_pagerank_5iter_sem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same semantics via the semi-external kernel (V3 ≡ V1 gate)."""
     e = lineitem_edges(spark, sf_dir)
@@ -748,6 +787,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank_5iter": q_graph_pagerank_5iter,
     "graph_pagerank_5iter_csr": q_graph_pagerank_5iter_csr,
     "graph_pagerank_5iter_sem": q_graph_pagerank_5iter_sem,
+    "graph_ppr_5iter": q_graph_ppr_5iter,
     "graph_wcc": q_graph_wcc,
     "graph_lp_1round": q_graph_lp_1round,
     "graph_triangles": q_graph_triangles,
@@ -799,6 +839,7 @@ ORACLE_SQL: dict[str, str] = {
     "graph_pagerank_5iter": _pagerank_sql(5),
     "graph_pagerank_5iter_csr": _pagerank_sql(5),
     "graph_pagerank_5iter_sem": _pagerank_sql(5),
+    "graph_ppr_5iter": _ppr_sql(5, PPR_SOURCES),
     "graph_wcc": _WCC_SQL,
     "graph_lp_1round": _LP1_SQL,
     "graph_triangles": _TRI_SQL,

@@ -88,6 +88,32 @@ def test_triangles_exact(spark, wiki_edges_df, wiki_vertices_df):
     assert (got == want).all()
 
 
+def test_personalized_pagerank_matches_numpy(spark, wiki_edges_df, wiki_vertices_df, wiki_edges):
+    """PPR (teleport restricted to a source set) == inline numpy reference
+    implementing the same pinned convention, 8 fixed iterations."""
+    sources = [0, 3, 7]
+    res = pagerank(
+        spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=8, eps=0.0,
+        personalized=sources,
+    )
+    got = _vec(res.state.select("id", "rank"), "rank")
+
+    from linkgraph.synth import WIKI_VOTE_N
+
+    n = WIKI_VOTE_N
+    src, dst = wiki_edges[:, 0], wiki_edges[:, 1]
+    out_deg = np.bincount(src, minlength=n).astype(np.float64)
+    base = np.zeros(n)
+    base[sources] = 0.15
+    r = base.copy()
+    for _ in range(8):
+        contrib = np.zeros(n)
+        nz = out_deg[src] > 0
+        np.add.at(contrib, dst[nz], r[src[nz]] / out_deg[src[nz]])
+        r = base + 0.85 * contrib
+    assert np.allclose(got, r, rtol=0, atol=1e-12)
+
+
 def test_bfs_matches_networkx(spark, wiki_edges_df, wiki_vertices_df, wiki_edges):
     """Directed BFS hop distances from vertex 0 == networkx shortest paths
     (unreached = -1)."""
