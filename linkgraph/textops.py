@@ -338,19 +338,31 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
 
 # ------------------------------------------------------------ text analysis
 
+# GPT-2-style pre-tokenizer approximation, restricted to syntax both Java
+# regex (Spark) and RE2 (DuckDB) accept: no lookahead, explicit classes.
+# Runs of letters / digits / other-symbols (each with optional leading
+# space) are one token each — a cheap, deterministic proxy for BPE token
+# counts on normalized text.
+BPEISH_TOKEN_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
 def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     norm = _norm_text(F.col("text"))
     return d.select(
         "doc_id",
         F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " "))).cast("long").alias("tokens"),
+        F.size(F.regexp_extract_all(norm, F.lit(BPEISH_TOKEN_RE), F.lit(0)))
+        .cast("long")
+        .alias("bpeish_tokens"),
     )
 
 
 DOC_TOKEN_COUNT_SQL = f"""
 SELECT doc_id,
        CASE WHEN {_NORM_SQL} = '' THEN 0
-            ELSE len(string_split({_NORM_SQL}, ' ')) END AS tokens
+            ELSE len(string_split({_NORM_SQL}, ' ')) END AS tokens,
+       len(regexp_extract_all({_NORM_SQL}, '{BPEISH_TOKEN_RE}')) AS bpeish_tokens
 FROM documents
 """
 
