@@ -153,8 +153,15 @@ def pagerank(
     else:
         raise ValueError(f"unknown kernel {kernel!r}")
 
+    # eps <= 0 means "run exactly max_iters": skip the per-superstep
+    # convergence action entirely — one fewer Spark job per superstep,
+    # which is pure fixed overhead on fixed-iteration runs
     result = engine.run(
-        state0, step, max_iters=max_iters, should_stop=_stop_fn(eps), resume=resume
+        state0,
+        step,
+        max_iters=max_iters,
+        should_stop=_stop_fn(eps) if eps > 0 else None,
+        resume=resume,
     )
     edges.unpersist()
     if tmp_layout is not None:
