@@ -38,10 +38,18 @@ def run_pagerank(cpus: int, args, kernel: str) -> dict:
         "--iters", str(args.iters),
         "--kernel", kernel,
     ]
-    out = subprocess.run(
-        cmd, env=env, capture_output=True, text=True, check=True, cwd=REPO
-    )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    last_err = None
+    for attempt in range(2):  # one retry: transient JVM/host failures happen
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True, cwd=REPO)
+        if out.returncode == 0:
+            return json.loads(out.stdout.strip().splitlines()[-1])
+        err_lines = out.stderr.strip().splitlines()
+        caused = [i for i, l in enumerate(err_lines) if "Caused by" in l or "Error" in l]
+        start = max(0, (caused[0] - 5) if caused else len(err_lines) - 60)
+        last_err = "\n".join(err_lines[start:start + 80])
+        print(f"[{kernel} local[{cpus}]] attempt {attempt + 1} failed:\n{last_err}",
+              file=sys.stderr, flush=True)
+    raise RuntimeError(f"bench_pagerank failed twice ({kernel}, local[{cpus}])")
 
 
 def run_cpu_control(cpus: int) -> float:

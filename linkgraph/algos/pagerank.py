@@ -407,8 +407,16 @@ def _make_sem_step(
     edges_parts, hubs, n_hubs = _routed_edges(edges, partitions, hub_threshold)
     # the graph "image": written once, hive-partitioned by block id — on a
     # cluster this lives on shared storage and each executor pulls only the
-    # blocks it serves (then caches them in its Python workers)
-    edges_parts.write.mode("overwrite").partitionBy("part").parquet(layout_dir)
+    # blocks it serves (then caches them in its Python workers). Routing
+    # the shuffle by part first gives each write task a single open parquet
+    # writer regardless of how many blocks there are.
+    (
+        edges_parts.repartition(partitions, "part")
+        .sortWithinPartitions("part", "src_id", "dst_id")
+        .write.mode("overwrite")
+        .partitionBy("part")
+        .parquet(layout_dir)
+    )
     parts_df = spark.range(partitions).select(F.col("id").cast("int").alias("part"))
     token = next(_CSR_RUN_COUNTER)
     kernel = _sem_spmv_factory(damping, token, layout_dir)
