@@ -5,7 +5,8 @@ Runs the engine's headline workloads at ``$SPARK_GRAFT_SF_DIR`` (default
 
 - pages pipeline: synth pages -> extraction UDFs -> edge table (build throughput)
 - PageRank supersteps on a deterministic 5M-edge power-law graph, both
-  kernels (SQL join+agg, CSR applyInPandas) — the north metric
+  hot-path kernels (SQL join+agg, semi-external applyInPandas) — the
+  north metric
 - WCC to fixpoint, LP supersteps, triangle counting
 - relational headliners at sf0.1 (TPC-H-ish Q1, window top-k, JSON/datetime)
 
@@ -76,41 +77,34 @@ def main() -> None:
     def steady(res):
         # min of post-warmup supersteps: noise-floor under the sandbox VM's
         # bursty CPU-steal stalls (identical work per superstep — same
-        # rationale as timeit's min-of-repeats)
+        # rationale as timeit's min-of-repeats). Median reported alongside
+        # as the what-a-user-sees estimate.
         per = sorted(m["seconds"] for m in res.metrics[2:]) or sorted(
             m["seconds"] for m in res.metrics
         )
-        return per[0]
+        return per[0], per[len(per) // 2]
+
+    def pr_extras(mn: float, md: float) -> dict:
+        return {
+            "steady_sec_per_iter": round(mn, 3),
+            "median_sec_per_iter": round(md, 3),
+            "edges_per_sec": round(n_edges / mn, 1),
+            "iters_per_hour": round(3600.0 / mn, 1),
+        }
 
     res = timed("pagerank_sql_5iter", lambda: pagerank(spark, edges, max_iters=5, eps=0.0))
-    pr_steady = steady(res)
-    extras["pagerank_sql"] = {
-        "steady_sec_per_iter": round(pr_steady, 3),
-        "edges_per_sec": round(n_edges / pr_steady, 1),
-        "iters_per_hour": round(3600.0 / pr_steady, 1),
-    }
+    pr_steady, pr_median = steady(res)
+    extras["pagerank_sql"] = pr_extras(pr_steady, pr_median)
 
-    res = timed(
-        "pagerank_csr_5iter",
-        lambda: pagerank(spark, edges, max_iters=5, eps=0.0, kernel="csr"),
-    )
-    csr_steady = steady(res)
-    extras["pagerank_csr"] = {
-        "steady_sec_per_iter": round(csr_steady, 3),
-        "edges_per_sec": round(n_edges / csr_steady, 1),
-        "iters_per_hour": round(3600.0 / csr_steady, 1),
-    }
-
+    # kernel="csr" routes to "sem" (the cogrouped V2 kernel pays O(E) Arrow
+    # per superstep and is retired from the hot path; it remains covered by
+    # the csr_cogroup equivalence tests and the csr correctness query)
     res = timed(
         "pagerank_sem_5iter",
         lambda: pagerank(spark, edges, max_iters=5, eps=0.0, kernel="sem"),
     )
-    sem_steady = steady(res)
-    extras["pagerank_sem"] = {
-        "steady_sec_per_iter": round(sem_steady, 3),
-        "edges_per_sec": round(n_edges / sem_steady, 1),
-        "iters_per_hour": round(3600.0 / sem_steady, 1),
-    }
+    sem_steady, sem_median = steady(res)
+    extras["pagerank_sem"] = pr_extras(sem_steady, sem_median)
 
     res = timed("wcc_fixpoint", lambda: wcc(spark, edges))
     extras["wcc_iterations"] = res.iterations

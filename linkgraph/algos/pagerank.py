@@ -137,38 +137,60 @@ def pagerank(
     )
 
     tmp_layout = None
-    if kernel == "sql":
-        step = _make_sql_step(edges, damping, salted, personalized)
-    elif kernel == "csr":
-        step = _make_csr_step(spark, edges, damping, partitions, hub_threshold, personalized)
-    elif kernel == "sem":
-        if layout_dir is None:
-            import tempfile
+    try:
+        # "csr" (the cogrouped-applyInPandas V2 kernel) pays a full O(E_p)
+        # Arrow transfer of the edge block every superstep; the semi-external
+        # kernel computes the identical gather/scatter with the edge blocks on
+        # storage and only O(V_p) state crossing Arrow, and beats it at every
+        # measured scale. "csr" therefore routes to "sem"; the raw cogroup
+        # kernel stays available as "csr_cogroup" for equivalence testing.
+        if kernel == "csr":
+            kernel = "sem"
+        if kernel == "sql":
+            step = _make_sql_step(edges, damping, salted, personalized)
+        elif kernel == "csr_cogroup":
+            step = _make_csr_step(
+                spark, edges, damping, partitions, hub_threshold, personalized
+            )
+        elif kernel == "sem":
+            if layout_dir is None:
+                import tempfile
 
-            tmp_layout = tempfile.mkdtemp(prefix="linkgraph_sem_")
-            layout_dir = tmp_layout
-        step = _make_sem_step(
-            spark, edges, damping, partitions, hub_threshold, layout_dir, personalized
+                tmp_layout = tempfile.mkdtemp(prefix="linkgraph_sem_")
+                layout_dir = tmp_layout
+            elif not spark.sparkContext.master.startswith("local"):
+                # the layout is read worker-side with plain filesystem IO;
+                # outside local mode it must be shared storage
+                import warnings
+
+                warnings.warn(
+                    "kernel='sem' on a non-local master: layout_dir must be "
+                    "on shared storage reachable from every executor "
+                    f"(got {layout_dir!r})",
+                    stacklevel=2,
+                )
+            step = _make_sem_step(
+                spark, edges, damping, partitions, hub_threshold, layout_dir, personalized
+            )
+        else:
+            raise ValueError(f"unknown kernel {kernel!r}")
+
+        # eps <= 0 means "run exactly max_iters": skip the per-superstep
+        # convergence action entirely — one fewer Spark job per superstep,
+        # which is pure fixed overhead on fixed-iteration runs
+        return engine.run(
+            state0,
+            step,
+            max_iters=max_iters,
+            should_stop=_stop_fn(eps) if eps > 0 else None,
+            resume=resume,
         )
-    else:
-        raise ValueError(f"unknown kernel {kernel!r}")
+    finally:
+        edges.unpersist()
+        if tmp_layout is not None:
+            import shutil
 
-    # eps <= 0 means "run exactly max_iters": skip the per-superstep
-    # convergence action entirely — one fewer Spark job per superstep,
-    # which is pure fixed overhead on fixed-iteration runs
-    result = engine.run(
-        state0,
-        step,
-        max_iters=max_iters,
-        should_stop=_stop_fn(eps) if eps > 0 else None,
-        resume=resume,
-    )
-    edges.unpersist()
-    if tmp_layout is not None:
-        import shutil
-
-        shutil.rmtree(tmp_layout, ignore_errors=True)
-    return result
+            shutil.rmtree(tmp_layout, ignore_errors=True)
 
 
 # ------------------------------------------------------------------ kernel V1
@@ -203,21 +225,27 @@ def _make_sql_step(edges: DataFrame, damping: float, salted: bool,
 # not depend on row order, only on the edge multiset per partition, which
 # the persisted loop-invariant edge table guarantees.
 _CSR_BLOCK_CACHE: dict[tuple[int, int], tuple] = {}
+_CSR_CACHE_CAP = 16
 _CSR_RUN_COUNTER = __import__("itertools").count(1)
 
 
 def _csr_block(token: int, part: int, edge_pdf: pd.DataFrame) -> tuple:
+    # evict stale-run entries on EVERY call (not just on miss) and LRU-cap
+    # the cache, so a reused Python worker never retains O(E) index arrays
+    # from a finished run while other jobs share the app
+    for k in [k for k in _CSR_BLOCK_CACHE if k[0] != token]:
+        del _CSR_BLOCK_CACHE[k]
     key = (token, part)
-    blk = _CSR_BLOCK_CACHE.get(key)
+    blk = _CSR_BLOCK_CACHE.pop(key, None)
     if blk is None:
         src = edge_pdf["src_id"].to_numpy(dtype=np.int64)
         dst = edge_pdf["dst_id"].to_numpy(dtype=np.int64)
         src_uniq, src_inv = np.unique(src, return_inverse=True)
         dst_uniq, dst_inv = np.unique(dst, return_inverse=True)
-        for k in [k for k in _CSR_BLOCK_CACHE if k[0] != token]:
-            del _CSR_BLOCK_CACHE[k]
         blk = (src_uniq, src_inv.astype(np.int32), dst_uniq, dst_inv.astype(np.int32))
-        _CSR_BLOCK_CACHE[key] = blk
+        while len(_CSR_BLOCK_CACHE) >= _CSR_CACHE_CAP:
+            _CSR_BLOCK_CACHE.pop(next(iter(_CSR_BLOCK_CACHE)))
+    _CSR_BLOCK_CACHE[key] = blk  # (re)insert as most-recently-used
     return blk
 
 
@@ -338,20 +366,35 @@ _SEM_BLOCK_CACHE: dict[tuple[int, int], tuple] = {}
 _SEM_CACHE_CAP = 16
 
 
-def _sem_block(token: int, part: int, layout_dir: str) -> tuple:
+def _sem_block(token: int, part: int, layout_dir: str, has_edges: bool) -> tuple:
     key = (token, part)
     blk = _SEM_BLOCK_CACHE.pop(key, None)
     if blk is None:
         import pyarrow.parquet as pq
 
-        try:
-            t = pq.read_table(f"{layout_dir}/part={part}", columns=["src_id", "dst_id"])
-        except FileNotFoundError:
-            # a block with state but no edges (possible on tiny graphs)
+        if not has_edges:
+            # a block with state but no edges: the driver-side manifest
+            # (edge_parts, computed at layout time) says so — never touch
+            # the filesystem, and never mask a genuinely missing block
             empty_i64 = np.empty(0, dtype=np.int64)
             empty_i32 = np.empty(0, dtype=np.int32)
             t = None
             blk = (empty_i64, empty_i32, empty_i64, empty_i32)
+        else:
+            try:
+                t = pq.read_table(
+                    f"{layout_dir}/part={part}", columns=["src_id", "dst_id"]
+                )
+            except FileNotFoundError as e:
+                # the manifest says this block exists — a missing file means
+                # the layout is unreachable from this worker (driver-local
+                # layout_dir on a cluster, or a deleted layout); returning an
+                # empty block here would silently zero its contributions
+                raise FileNotFoundError(
+                    f"sem edge block part={part} expected under {layout_dir!r} "
+                    "but not found — layout_dir must be shared storage "
+                    "reachable from every executor and must outlive the run"
+                ) from e
         if t is not None:
             src = t.column("src_id").to_numpy().astype(np.int64, copy=False)
             dst = t.column("dst_id").to_numpy().astype(np.int64, copy=False)
@@ -366,17 +409,24 @@ def _sem_block(token: int, part: int, layout_dir: str) -> tuple:
     return blk
 
 
-def _sem_spmv_factory(damping: float, token: int, layout_dir: str):
+def _sem_spmv_factory(damping: float, token: int, layout_dir: str,
+                      edge_parts: frozenset[int]):
     """Grouped-map kernel over vertex state ONLY: the adjacency block comes
     from storage via the worker cache, so the per-superstep Arrow transfer
     is O(V_p), not O(E_p) — this is FlashGraph's semi-external-memory
-    split (vertex state moves, edge lists stay put) on Spark."""
+    split (vertex state moves, edge lists stay put) on Spark.
+
+    edge_parts is the layout-time manifest of blocks that actually contain
+    edges; a FileNotFoundError on one of those is raised, not masked."""
 
     def sem_spmv(key: Any, state_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(state_pdf) == 0:
             return pd.DataFrame({"dst_id": pd.Series(dtype="int64"),
                                  "contrib": pd.Series(dtype="float64")})
-        src_uniq, src_inv, dst_uniq, dst_inv = _sem_block(token, int(key[0]), layout_dir)
+        part = int(key[0])
+        src_uniq, src_inv, dst_uniq, dst_inv = _sem_block(
+            token, part, layout_dir, part in edge_parts
+        )
         if len(src_uniq) == 0:
             return pd.DataFrame({"dst_id": pd.Series(dtype="int64"),
                                  "contrib": pd.Series(dtype="float64")})
@@ -417,9 +467,14 @@ def _make_sem_step(
         .partitionBy("part")
         .parquet(layout_dir)
     )
+    # layout-time manifest: which blocks actually hold edges (≤ `partitions`
+    # rows — bounded driver-side metadata, like engine lineage)
+    edge_parts = frozenset(
+        r["part"] for r in spark.read.parquet(layout_dir).select("part").distinct().collect()
+    )
     parts_df = spark.range(partitions).select(F.col("id").cast("int").alias("part"))
     token = next(_CSR_RUN_COUNTER)
-    kernel = _sem_spmv_factory(damping, token, layout_dir)
+    kernel = _sem_spmv_factory(damping, token, layout_dir, edge_parts)
 
     def step(state: DataFrame, iteration: int) -> DataFrame:
         contribs = state.filter(F.col("out_deg") > 0).select(

@@ -131,9 +131,11 @@ def q_graph_pagerank_5iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_graph_pagerank_5iter_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same semantics via the CSR applyInPandas kernel (V2 ≡ V1 gate)."""
+    """Same semantics via the raw cogrouped CSR applyInPandas kernel
+    (V2 ≡ V1 gate). In production kernel="csr" routes to the semi-external
+    kernel; "csr_cogroup" pins V2 so this gate keeps exercising it."""
     e = lineitem_edges(spark, sf_dir)
-    res = pagerank(spark, e, max_iters=5, eps=0.0, kernel="csr", partitions=8)
+    res = pagerank(spark, e, max_iters=5, eps=0.0, kernel="csr_cogroup", partitions=8)
     return res.state.select("id", F.round("rank", 6).alias("rank"))
 
 

@@ -31,11 +31,15 @@ def test_pagerank_converged_matches_golden(spark, wiki_edges_df, wiki_vertices_d
 
 
 def test_pagerank_csr_equals_sql_kernel(spark, wiki_edges_df, wiki_vertices_df, wiki_edges):
-    """V2 ≡ V1 within 1e-12 (SURVEY.md §4.1) on a 15-iteration run."""
+    """V2 cogroup ≡ V1 within 1e-12 (SURVEY.md §4.1) on a 15-iteration run.
+
+    kernel="csr" routes to sem in production (the cogroup kernel pays O(E)
+    Arrow per superstep); "csr_cogroup" pins the raw V2 kernel for this
+    equivalence check."""
     sql_r = pagerank(spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=15, eps=0.0)
     csr_r = pagerank(
         spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=15, eps=0.0,
-        kernel="csr", partitions=8,
+        kernel="csr_cogroup", partitions=8,
     )
     a = _vec(sql_r.state.select("id", "rank"), "rank")
     b = _vec(csr_r.state.select("id", "rank"), "rank")
@@ -165,7 +169,7 @@ def test_hub_stress_vertex_cut(spark):
     verts = spark.range(HUB_STRESS_N).selectExpr("id")
     res = pagerank(
         spark, e, vertices=verts, max_iters=5, eps=0.0,
-        kernel="csr", partitions=8, hub_threshold=100,
+        kernel="csr_cogroup", partitions=8, hub_threshold=100,
     )
     got = _vec_n(res.state.select("id", "rank"), "rank", HUB_STRESS_N)
     want, _ = oracle.pagerank(arr, HUB_STRESS_N, max_iters=5, eps=0.0)

@@ -55,9 +55,26 @@ def test_checkpoint_meta_lineage(spark, wiki_edges_df, wiki_vertices_df, tmp_pat
     assert meta["iteration"] == 4
     assert meta["rows"] == WIKI_VOTE_N
     assert all({"partition", "rows", "checksum"} <= set(p) for p in meta["partitions"])
-    # metrics JSONL: one row per superstep
+    # metrics JSONL: one row per superstep. eps=0 (fixed-iteration) runs
+    # skip the convergence action entirely, so max_delta is absent by
+    # contract — only timing is guaranteed here.
     lines = [json.loads(line) for line in open(os.path.join(ckpt, "metrics.jsonl"))]
     assert [r["iteration"] for r in lines] == [1, 2, 3, 4]
+    assert all("seconds" in r for r in lines)
+    assert all("max_delta" not in r for r in lines)
+
+
+def test_metrics_carry_max_delta_when_converging(
+    spark, wiki_edges_df, wiki_vertices_df, tmp_path
+):
+    """eps > 0 runs the convergence action; every metrics row has max_delta."""
+    ckpt = str(tmp_path / "ckpt")
+    eng = SuperstepEngine(spark, ckpt_dir=ckpt, checkpoint_every=2)
+    pagerank(
+        spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=3, eps=1e-12, engine=eng
+    )
+    lines = [json.loads(line) for line in open(os.path.join(ckpt, "metrics.jsonl"))]
+    assert len(lines) >= 1
     assert all("max_delta" in r and "seconds" in r for r in lines)
 
 
