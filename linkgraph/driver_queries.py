@@ -227,6 +227,50 @@ FROM verts v LEFT JOIN winner w ON w.id = v.id
 """
 
 
+LP_ORACLE_ROUNDS = 3
+
+
+def q_graph_lp_3round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-round LP checked against an unrolled CTE chain — the 1-round
+    oracle can't see cross-iteration semantics (synchronous update from the
+    PREVIOUS round's labels, tie-break stability across rounds)."""
+    e = lineitem_edges(spark, sf_dir)
+    res = label_propagation(spark, e, iters=LP_ORACLE_ROUNDS)
+    return res.state.select("id", "label")
+
+
+def _lp_sql(rounds: int) -> str:
+    """Unrolled synchronous LP as a CTE chain (mirrors _pagerank_sql).
+
+    Every l{k} is referenced twice in round k+1 (neighbor gather + the
+    isolated-vertex coalesce), so MATERIALIZED is required or DuckDB inlines
+    the chain into a 2^rounds plan."""
+    ctes = [
+        _EDGES_SQL,
+        _VERTS_SQL,
+        "sym AS MATERIALIZED (" + _SYM_SQL.strip().split("(", 1)[1],
+        "l0 AS MATERIALIZED (SELECT id, id AS label FROM verts)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+    SELECT p.id, COALESCE(w.label, p.label) AS label
+    FROM l{k - 1} p LEFT JOIN (
+        SELECT id, label FROM (
+            SELECT id, label,
+                   ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+            FROM (
+                SELECT e.dst_id AS id, r.label AS label, COUNT(*) AS cnt
+                FROM sym e JOIN l{k - 1} r ON e.src_id = r.id
+                GROUP BY e.dst_id, r.label
+            )
+        ) WHERE rn = 1
+    ) w ON w.id = p.id
+)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{rounds}"
+
+
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = lineitem_edges(spark, sf_dir)
     return triangle_counts(spark, e)
@@ -558,6 +602,29 @@ SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGE
 """
 
 
+def q_set_ops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: customers with BOTH an urgent order and a building-segment
+    profile — the set-intersection operator proper (distinct semantics)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    building = (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return urgent.intersect(building)
+
+
+_SET_OPS_INTERSECT_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
 def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets rollup over (status, priority) with grand totals."""
     o = _t(spark, sf_dir, "orders")
@@ -792,6 +859,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_ppr_5iter": q_graph_ppr_5iter,
     "graph_wcc": q_graph_wcc,
     "graph_lp_1round": q_graph_lp_1round,
+    "graph_lp_3round": q_graph_lp_3round,
     "graph_triangles": q_graph_triangles,
     "graph_bfs": q_graph_bfs,
     "graph_kcore": q_graph_kcore,
@@ -806,6 +874,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "dedup_distinct": q_dedup_distinct,
     "set_ops_except": q_set_ops,
+    "set_ops_intersect": q_set_ops_intersect,
     "rollup_orders": q_rollup_orders,
     "string_funcs": q_string_funcs,
     "array_ops": q_array_ops,
@@ -844,6 +913,7 @@ ORACLE_SQL: dict[str, str] = {
     "graph_ppr_5iter": _ppr_sql(5, PPR_SOURCES),
     "graph_wcc": _WCC_SQL,
     "graph_lp_1round": _LP1_SQL,
+    "graph_lp_3round": _lp_sql(LP_ORACLE_ROUNDS),
     "graph_triangles": _TRI_SQL,
     "graph_bfs": _BFS_SQL,
     "graph_kcore": _KCORE_SQL,
@@ -858,6 +928,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_sessionize": _SESSIONIZE_SQL,
     "dedup_distinct": _DEDUP_SQL,
     "set_ops_except": _SET_OPS_SQL,
+    "set_ops_intersect": _SET_OPS_INTERSECT_SQL,
     "rollup_orders": _ROLLUP_SQL,
     "string_funcs": _STRING_SQL,
     "array_ops": _ARRAY_SQL,
