@@ -137,6 +137,7 @@ def pagerank(
     )
 
     tmp_layout = None
+    hot = None
     try:
         # "csr" (the cogrouped-applyInPandas V2 kernel) pays a full O(E_p)
         # Arrow transfer of the edge block every superstep; the semi-external
@@ -147,7 +148,13 @@ def pagerank(
         if kernel == "csr":
             kernel = "sem"
         if kernel == "sql":
-            step = _make_sql_step(edges, damping, salted, personalized)
+            if salted:
+                # hybrid salting: only keys above hub_threshold are salted —
+                # salting every key defeats map-side combining for the whole
+                # table (measured 4x slower than plain, BENCH/BASELINE.md)
+                hot = _hot_dsts(edges, hub_threshold).persist()
+                hot.count()
+            step = _make_sql_step(edges, damping, salted, personalized, hot)
         elif kernel == "csr_cogroup":
             step = _make_csr_step(
                 spark, edges, damping, partitions, hub_threshold, personalized
@@ -187,6 +194,8 @@ def pagerank(
         )
     finally:
         edges.unpersist()
+        if hot is not None:
+            hot.unpersist()
         if tmp_layout is not None:
             import shutil
 
@@ -195,8 +204,21 @@ def pagerank(
 
 # ------------------------------------------------------------------ kernel V1
 
+def _hot_dsts(edges: DataFrame, hub_threshold: int) -> DataFrame:
+    """Hot reduce keys for hybrid salting: high IN-degree vertices (the
+    gather groupBy key is dst). Loop-invariant — persist once, broadcast
+    into every superstep's salt expression."""
+    return (
+        edges.groupBy("dst_id")
+        .agg(F.count(F.lit(1)).alias("in_deg"))
+        .filter(F.col("in_deg") > hub_threshold)
+        .select("dst_id")
+    )
+
+
 def _make_sql_step(edges: DataFrame, damping: float, salted: bool,
-                   personalized: list[int] | None = None):
+                   personalized: list[int] | None = None,
+                   hot_dsts: DataFrame | None = None):
     def step(state: DataFrame, iteration: int) -> DataFrame:
         contribs = state.filter(F.col("out_deg") > 0).select(
             F.col("id").alias("src_id"),
@@ -205,7 +227,8 @@ def _make_sql_step(edges: DataFrame, damping: float, salted: bool,
         gathered = edges.join(contribs, "src_id").select("dst_id", "contrib")
         if salted:
             msgs = salted_agg(
-                gathered, key="dst_id", value="contrib", agg="sum", buckets=SALT_BUCKETS
+                gathered, key="dst_id", value="contrib", agg="sum",
+                buckets=SALT_BUCKETS, hot_keys=hot_dsts,
             ).withColumnRenamed("contrib", "sum_contrib")
         else:
             msgs = gathered.groupBy("dst_id").agg(F.sum("contrib").alias("sum_contrib"))

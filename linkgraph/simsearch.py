@@ -138,13 +138,26 @@ def ivf_assign(
     JVM-side column ops; per iteration one broadcast join + two shuffles
     of (cell, dim) partials, independent of corpus size per-row.
 
+    Seed selection is ``orderBy(hash).limit(n)`` — planned as a fully
+    parallel TakeOrderedAndProject (per-partition top-n, then a driver
+    merge of n_centroids rows), NOT a global window, which would funnel
+    the whole corpus through one task. Cell ids are stamped on the ≤
+    n_centroids collected seeds driver-side (bounded metadata, same
+    pattern as engine lineage).
+
     Returns (centroids_df(cell, cvec), assign_df(vec_id, embedding, cell)).
     """
-    w = Window.orderBy(F.xxhash64(F.col("vec_id")), F.asc("vec_id"))
-    centroids = (
-        emb.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n_centroids)
-        .select(F.col("__rn").alias("cell"), F.col("embedding").alias("cvec"))
+    seeds = (
+        emb.select("vec_id", "embedding", F.xxhash64(F.col("vec_id")).alias("__h"))
+        .orderBy(F.asc("__h"), F.asc("vec_id"))
+        .limit(n_centroids)
+        .collect()
+    )
+    seeds.sort(key=lambda r: (r["__h"], r["vec_id"]))
+    spark = emb.sparkSession
+    centroids = spark.createDataFrame(
+        [(i + 1, [float(x) for x in r["embedding"]]) for i, r in enumerate(seeds)],
+        "cell int, cvec array<double>",
     )
     for _ in range(kmeans_iters):
         assign = _assign_cells(emb, centroids)

@@ -30,23 +30,40 @@ def salted_agg(
     agg: str = "sum",
     salt_from: str | None = None,
     buckets: int = SALT_BUCKETS,
+    hot_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Two-phase aggregation over ``key`` with a deterministic salt.
 
     ``agg`` ∈ {sum, min, max, count}; for count the second phase sums the
     per-salt counts. Result columns: (key, value) — same as the direct
     ``groupBy(key).agg(...)`` it replaces.
+
+    ``hot_keys`` (single column named ``key``, small/broadcastable) switches
+    on **hybrid** salting: only rows whose key is in the hot set are salted;
+    every other row gets salt 0. Salting all keys defeats map-side partial
+    aggregation for the whole table (each map task emits up to ``buckets``
+    partial rows per key instead of 1) and adds a phase-2 shuffle of
+    ``buckets × |keys|`` rows — measured 4x slower than the direct agg on a
+    hub-heavy graph. With the hot set, the tail combines exactly as in the
+    direct plan and phase 2 shuffles ~|keys| + buckets × |hot| rows.
     """
     salt_col = (
         F.pmod(F.xxhash64(F.col(salt_from)), F.lit(buckets))
         if salt_from
         else F.pmod(F.xxhash64(F.col(value)), F.lit(buckets))
     )
+    drop = []
+    if hot_keys is not None:
+        hot = hot_keys.select(F.col(key)).withColumn("__hot", F.lit(True))
+        df = df.join(F.broadcast(hot), key, "left")
+        salt_col = F.when(F.col("__hot").isNotNull(), salt_col).otherwise(F.lit(0))
+        drop = ["__hot"]
     fns = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.count}
     first = fns[agg]
     second = F.sum if agg in ("sum", "count") else first
     partial = (
         df.withColumn("__salt", salt_col)
+        .drop(*drop)
         .groupBy(key, "__salt")
         .agg(first(value).alias(value))
     )

@@ -28,6 +28,13 @@ JACCARD_THRESHOLD = 0.5
 SHINGLE_WORDS = 3
 MINHASH_K = 8  # number of hash functions
 LSH_BANDS = 4  # rows per band = MINHASH_K / LSH_BANDS = 2
+# stop-shingle cap for the EXACT Jaccard path: shingles appearing in more
+# than this many docs (boilerplate headers/footers on real crawl text) are
+# dropped before the self-join on BOTH engines — the bucket join is
+# quadratic per shingle, so one boilerplate shingle shared by k docs costs
+# k^2/2 pairs. The convention (pinned here) is that jaccard is computed
+# over the KEPT shingle sets.
+STOP_SHINGLE_MAX_DF = 50
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,8 +117,16 @@ shingles AS (
 
 
 def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact shingle-Jaccard near-dup pairs (>= threshold), a < b."""
-    sh = _shingles(_docs(spark, sf_dir)).persist()
+    """Exact shingle-Jaccard near-dup pairs (>= threshold), a < b, computed
+    over the kept shingle sets after dropping stop-shingles with
+    doc-frequency > STOP_SHINGLE_MAX_DF (hot-bucket mitigation; identical
+    cap in the DuckDB oracle)."""
+    raw = _shingles(_docs(spark, sf_dir))
+    df_counts = raw.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    sh = (
+        raw.join(df_counts.filter(F.col("df") > STOP_SHINGLE_MAX_DF), "sh", "left_anti")
+        .persist()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.withColumnRenamed("doc_id", "doc_a")
     b = sh.withColumnRenamed("doc_id", "doc_b")
@@ -133,10 +148,16 @@ def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_JACCARD_SQL = f"""
 WITH {_SHINGLES_SQL.strip()},
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+kept AS MATERIALIZED (
+    SELECT s.doc_id, s.sh
+    FROM shingles s
+    JOIN (SELECT sh FROM shingles GROUP BY sh
+          HAVING COUNT(*) <= {STOP_SHINGLE_MAX_DF}) k ON k.sh = s.sh
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-    FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )
 SELECT i.doc_a, i.doc_b,
@@ -215,59 +236,102 @@ DOC_MINHASH_LSH_SQL = _minhash_sql()
 
 # ------------------------------------------------------------------ simhash
 
-SIMHASH_DOC_BITS = 16
+SIMHASH_DOC_BITS = 64  # 4 LSH bands x 16 bits
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_DOC_BITS // SIMHASH_BANDS  # 16 -> 65536 keys/band
 SIMHASH_HAMMING_MAX = 3
 _ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
 
 
-def _doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash) — word-level SimHash, portable across engines.
+def _doc_simhash_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, p0..p3) — word-level 64-bit SimHash as four 16-bit parts,
+    portable across engines.
 
     Bit j of the signature = sign (>= 0) of the sum over the doc's distinct
-    words of ±1, where the ±1 is the parity of hex digit j of md5(word).
-    md5 is available verbatim in both Spark and DuckDB, so the oracle
-    computes byte-identical signatures (convention pinned here).
+    words of ±1. The ±1 stream comes from hex-digit parity of TWO keyed
+    md5s per word (md5(w) covers bits 0-31, md5('#' || w) bits 32-63); md5
+    is available verbatim in both Spark and DuckDB, so the oracle computes
+    byte-identical signatures (convention pinned here). Parts (not one
+    BIGINT) because bit 63 of a packed signature overflows signed 64-bit
+    arithmetic in both engines; band keys and Hamming distance only ever
+    need the parts.
+
+    16-bit signatures banded at 8 bits gave 256 buckets/band — bucket
+    joins go quadratic in N/256 at crawl scale. 64/16 gives 65,536 keys
+    per band and a far lower false-candidate rate.
     """
     d = _docs(spark, sf_dir)
     words = (
         d.select("doc_id", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w"))
         .filter(F.col("w") != "")
         .distinct()
-        .withColumn("h", F.md5("w"))
+        .withColumn("h1", F.md5("w"))
+        .withColumn("h2", F.md5(F.concat(F.lit("#"), F.col("w"))))
     )
+
+    def digit(j: int):
+        col, pos = ("h1", j) if j < 32 else ("h2", j - 32)
+        return F.substring(col, pos + 1, 1)
+
     sums = words.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.substring("h", j + 1, 1).isin(*_ODD_HEX), F.lit(1)).otherwise(
-                    F.lit(-1)
-                )
+                F.when(digit(j).isin(*_ODD_HEX), F.lit(1)).otherwise(F.lit(-1))
             ).alias(f"s{j}")
             for j in range(SIMHASH_DOC_BITS)
         ]
     )
-    sig = F.lit(0)
-    for j in range(SIMHASH_DOC_BITS):
-        sig = sig + F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return sums.select("doc_id", sig.cast("long").alias("simhash"))
+    parts = []
+    for p in range(SIMHASH_BANDS):
+        part = F.lit(0)
+        for b in range(SIMHASH_BAND_BITS):
+            j = p * SIMHASH_BAND_BITS + b
+            part = part + F.when(F.col(f"s{j}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        parts.append(part.cast("long").alias(f"p{p}"))
+    return sums.select("doc_id", *parts)
+
+
+def _hex16(col):
+    """Fixed-width lowercase 4-hex-digit rendering of a 16-bit part —
+    identical in Spark (hex) and DuckDB (to_hex)."""
+    return F.lpad(F.lower(F.hex(col)), 4, "0")
 
 
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _doc_simhash(spark, sf_dir)
+    """(doc_id, simhash): the 64-bit signature as a 16-hex-char string
+    (p3 high to p0 low)."""
+    parts = _doc_simhash_parts(spark, sf_dir)
+    return parts.select(
+        "doc_id",
+        F.concat(
+            _hex16(F.col("p3")), _hex16(F.col("p2")),
+            _hex16(F.col("p1")), _hex16(F.col("p0")),
+        ).alias("simhash"),
+    )
 
 
 def _simhash_sql_core() -> str:
     odd = ", ".join(f"'{c}'" for c in _ODD_HEX)
+
+    def digit(j: int) -> str:
+        col, pos = ("h1", j) if j < 32 else ("h2", j - 32)
+        return f"substr({col}, {pos + 1}, 1)"
+
     s_cols = ",\n           ".join(
-        f"SUM(CASE WHEN substr(h, {j + 1}, 1) IN ({odd}) THEN 1 ELSE -1 END) AS s{j}"
+        f"SUM(CASE WHEN {digit(j)} IN ({odd}) THEN 1 ELSE -1 END) AS s{j}"
         for j in range(SIMHASH_DOC_BITS)
     )
-    sig = " + ".join(
-        f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(SIMHASH_DOC_BITS)
-    )
+    part_exprs = []
+    for p in range(SIMHASH_BANDS):
+        bits = " + ".join(
+            f"(CASE WHEN s{p * SIMHASH_BAND_BITS + b} >= 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(SIMHASH_BAND_BITS)
+        )
+        part_exprs.append(f"CAST({bits} AS BIGINT) AS p{p}")
+    parts = ",\n           ".join(part_exprs)
     return f"""
 words AS (
-    SELECT DISTINCT doc_id, md5(w) AS h
+    SELECT DISTINCT doc_id, md5(w) AS h1, md5('#' || w) AS h2
     FROM (SELECT doc_id, UNNEST(string_split({_NORM_SQL}, ' ')) AS w FROM documents)
     WHERE w <> ''
 ),
@@ -276,64 +340,84 @@ sums AS (
            {s_cols}
     FROM words GROUP BY doc_id
 ),
-sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums)"""
+sig AS (
+    SELECT doc_id,
+           {parts}
+    FROM sums
+)"""
+
+
+def _hex16_sql(col: str) -> str:
+    return f"lpad(lower(to_hex({col})), 4, '0')"
 
 
 DOC_SIMHASH_SQL = f"""
 WITH {_simhash_sql_core().strip()}
-SELECT doc_id, simhash FROM sig
+SELECT doc_id,
+       {_hex16_sql('p3')} || {_hex16_sql('p2')} || {_hex16_sql('p1')} || {_hex16_sql('p0')} AS simhash
+FROM sig
 """
 
 
 def q_doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: LSH banding (2 bands of 8 bits) proposes
-    candidates, exact Hamming distance <= SIMHASH_HAMMING_MAX confirms.
-    The band step is what makes this linear-ish at crawl scale — only
-    docs agreeing on half the signature are ever paired."""
-    sig = _doc_simhash(spark, sf_dir)
-    bands = sig.select(
-        "doc_id", "simhash", F.lit(0).alias("band"), (F.col("simhash") % 256).alias("key")
-    ).unionByName(
-        sig.select(
-            "doc_id",
-            "simhash",
-            F.lit(1).alias("band"),
-            F.floor(F.col("simhash") / 256).cast("long").alias("key"),
+    """SimHash near-dup pairs: LSH banding (SIMHASH_BANDS bands of
+    SIMHASH_BAND_BITS bits — band b's key is part pb) proposes candidates,
+    exact Hamming distance <= SIMHASH_HAMMING_MAX confirms. The band step
+    is what makes this linear-ish at crawl scale — only docs agreeing on a
+    full 16-bit quarter of the signature are ever paired."""
+    sig = _doc_simhash_parts(spark, sf_dir)
+    part_cols = [f"p{p}" for p in range(SIMHASH_BANDS)]
+    bands = None
+    for p in range(SIMHASH_BANDS):
+        one = sig.select(
+            "doc_id", *part_cols, F.lit(p).alias("band"), F.col(f"p{p}").alias("key")
         )
-    )
+        bands = one if bands is None else bands.unionByName(one)
     a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "key"
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(c).alias(f"a_{c}") for c in part_cols],
+        "band",
+        "key",
     )
     b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "key"
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(c).alias(f"b_{c}") for c in part_cols],
+        "band",
+        "key",
     )
+    hamming = None
+    for c in part_cols:
+        h = F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
+        hamming = h if hamming is None else hamming + h
     return (
         a.join(b, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b", *[f"a_{c}" for c in part_cols], *[f"b_{c}" for c in part_cols])
         .distinct()
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"),
-        )
+        .withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
     )
 
 
-DOC_SIMHASH_NEAR_DUPS_SQL = f"""
+def _simhash_near_dups_sql() -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, p0, p1, p2, p3, {p} AS band, p{p} AS key FROM sig"
+        for p in range(SIMHASH_BANDS)
+    )
+    ham = " + ".join(f"bit_count(xor(a.p{p}, b.p{p}))" for p in range(SIMHASH_BANDS))
+    return f"""
 WITH {_simhash_sql_core().strip()},
-bands AS (
-    SELECT doc_id, simhash, 0 AS band, simhash % 256 AS key FROM sig
-    UNION ALL
-    SELECT doc_id, simhash, 1 AS band, simhash // 256 AS key FROM sig
-)
+bands AS ({band_selects})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       CAST({ham} AS BIGINT) AS hamming
 FROM bands a
 JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
+WHERE {ham} <= {SIMHASH_HAMMING_MAX}
 """
+
+
+DOC_SIMHASH_NEAR_DUPS_SQL = _simhash_near_dups_sql()
 
 
 # ------------------------------------------------------------ text analysis

@@ -63,13 +63,44 @@ def test_pagerank_sem_equals_sql_kernel(spark, wiki_edges_df, wiki_vertices_df, 
 
 
 def test_pagerank_salted_equals_plain(spark, wiki_edges_df, wiki_vertices_df):
+    """Hybrid salting ≡ plain. hub_threshold forced low so the fixture has a
+    non-empty hot set and BOTH the salted-hub and direct-tail paths run."""
     plain = pagerank(spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=8, eps=0.0)
     salted = pagerank(
-        spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=8, eps=0.0, salted=True
+        spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=8, eps=0.0,
+        salted=True, hub_threshold=20,
     )
     a = _vec(plain.state.select("id", "rank"), "rank")
     b = _vec(salted.state.select("id", "rank"), "rank")
     assert np.allclose(a, b, rtol=0, atol=1e-12)
+
+
+def test_salted_agg_hybrid_equals_direct(spark):
+    """skew.salted_agg with a hot-key set == direct groupBy on an integer
+    table (exact long sums — no float tolerance needed)."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.skew import salted_agg
+
+    df = (
+        spark.range(20000)
+        .select(
+            # key 0 is a hot hub (half the rows); keys 1..99 share the rest
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.col("id") % 99 + 1)
+            .cast("long")
+            .alias("k"),
+            (F.col("id") % 7).cast("long").alias("v"),
+        )
+    )
+    hot = spark.createDataFrame([(0,)], "k long")
+    direct = {r["k"]: r["s"] for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    hybrid = {
+        r["k"]: r["v"]
+        for r in salted_agg(df, key="k", value="v", agg="sum", salt_from="v",
+                            hot_keys=hot).collect()
+    }
+    assert direct == hybrid
 
 
 def test_wcc_exact(spark, wiki_edges_df, wiki_vertices_df):

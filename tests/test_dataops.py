@@ -11,6 +11,66 @@ import pytest
 SF = "/root/testdata/sf0.001"
 
 
+def _write_docs(spark, tmp_path, texts):
+    """Write a minimal documents.parquet a textops query can read."""
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    return sf_dir
+
+
+def test_simhash_band_keys_spread_on_diverse_corpus(spark, tmp_path):
+    """The 64-bit/16-bit-band construction must not concentrate DIVERSE
+    docs: on a corpus of distinct word sets, no band key may hold >1% of
+    docs (the 16-bit predecessor had only 256 keys/band and concentrated
+    by construction). Template-y corpora may still share buckets — that is
+    similarity recall, not key-space deficiency."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from linkgraph.textops import SIMHASH_BANDS, _doc_simhash_parts
+
+    def words(i):
+        return " ".join(
+            hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8] for j in range(30)
+        )
+
+    n = 2000
+    sf_dir = _write_docs(spark, tmp_path, [words(i) for i in range(n)])
+    sig = _doc_simhash_parts(spark, sf_dir)
+    for p in range(SIMHASH_BANDS):
+        top = sig.groupBy(f"p{p}").count().agg(F.max("count")).first()[0]
+        assert top <= n // 100, f"band {p}: hottest bucket {top}/{n}"
+
+
+def test_jaccard_stop_shingles_drop_boilerplate(spark, tmp_path):
+    """Hot-shingle mitigation: a boilerplate sentence shared by every doc
+    (doc-frequency > STOP_SHINGLE_MAX_DF) must not pair unrelated docs;
+    genuine near-dups must still be found via their kept shingles."""
+    from linkgraph.textops import STOP_SHINGLE_MAX_DF, q_doc_jaccard_pairs
+
+    boiler = "subscribe to our newsletter for the latest updates and offers"
+    n = STOP_SHINGLE_MAX_DF + 10  # boilerplate shingles exceed the cap
+    texts = []
+    for i in range(n):
+        unique = " ".join(f"w{i}x{j}" for j in range(12))
+        texts.append(f"{boiler} {unique}")
+    # docs n and n+1: true near-dups (same unique body, one word changed)
+    body = " ".join(f"dup{j}" for j in range(12))
+    texts.append(f"{boiler} {body}")
+    texts.append(f"{boiler} {body} extra")
+    sf_dir = _write_docs(spark, tmp_path, texts)
+
+    pairs = q_doc_jaccard_pairs(spark, sf_dir).toPandas()
+    got = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (n, n + 1) in got, pairs
+    # boilerplate alone must not pair unrelated docs
+    unrelated = {p for p in got if p != (n, n + 1)}
+    assert not unrelated, unrelated
+
+
 def test_token_count_matches_pandas(spark):
     from linkgraph.textops import q_doc_token_count
 

@@ -80,6 +80,24 @@ def test_wholestage_codegen_on_agg_path(spark):
     assert "*(" in _plan(df)
 
 
+def test_ivf_seed_selection_is_parallel(spark):
+    """IVF seeding must plan as TakeOrderedAndProject (per-partition top-n),
+    never a global single-partition window over the whole corpus — the
+    scale-killer this guards against funnels every embedding through one
+    task at 100 TB."""
+    from linkgraph.simsearch import IVF_CENTROIDS
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    seeds = (
+        emb.select("vec_id", "embedding", F.xxhash64(F.col("vec_id")).alias("__h"))
+        .orderBy(F.asc("__h"), F.asc("vec_id"))
+        .limit(IVF_CENTROIDS)
+    )
+    plan = _plan(seeds)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
 def test_broadcast_join_planned_for_small_dim(spark):
     c = spark.read.parquet(f"{SF}/customer.parquet")
     n = spark.read.parquet(f"{SF}/nation.parquet")
