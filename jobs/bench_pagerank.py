@@ -29,7 +29,13 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--kernel", choices=["sql", "csr", "sem"], default="sql")
     ap.add_argument("--salted", action="store_true")
-    ap.add_argument("--partitions", type=int, default=0, help="csr kernel parts")
+    # FIXED partition count, decoupled from core count: a scaling
+    # experiment must run the SAME job (same shuffle layout, same sem
+    # edge-block layout, same hub-replication factor) at both parallelism
+    # levels — partitions = f(cpus) silently changes the work shape and,
+    # for the sem kernel, grows hub-state replication with the "cluster
+    # size", an anti-scaling term the protocol itself injects.
+    ap.add_argument("--partitions", type=int, default=64)
     args = ap.parse_args()
 
     from linkgraph.algos import pagerank
@@ -39,7 +45,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(
         app_name=f"bench-pagerank-{cpus}",
-        shuffle_partitions=2 * cpus,
+        shuffle_partitions=args.partitions,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -55,18 +61,24 @@ def main() -> None:
         eps=0.0,
         kernel=args.kernel,
         salted=args.salted,
-        partitions=args.partitions or 2 * cpus,
+        partitions=args.partitions,
     )
     total = time.monotonic() - t0
     per_iter = [m["seconds"] for m in res.metrics]
-    # steady-state = MINIMUM after dropping two warmup iterations
-    # (JIT/codegen/persist materialization). The sandbox VM shows bursty
-    # hypervisor CPU-steal stalls of 10-50 s that land on random supersteps
-    # (see BENCH/BASELINE.md); every superstep does identical work, so the
-    # minimum is the noise-floor estimate of true per-superstep cost — the
-    # same rationale as timeit's min-of-repeats.
+    # Post-warmup iterations (drop 2: JIT/codegen/persist materialization).
+    # The sandbox VM shows bursty hypervisor CPU-steal stalls of 10-50 s on
+    # random supersteps; every superstep does identical work, so three
+    # estimators are reported:
+    #   min          — noise floor (timeit rationale), per-superstep cost
+    #   median       — what a user sees on a typical superstep
+    #   trimmed mean — drop one min + one max, average the rest; the
+    #                  GATING estimator for scaling efficiency (a ratio of
+    #                  two single-sample minima is itself high-variance)
     steady = sorted(per_iter[2:]) if len(per_iter) > 3 else sorted(per_iter)
-    sec_per_iter = steady[0]
+    mn = steady[0]
+    median = steady[len(steady) // 2]
+    core = steady[1:-1] if len(steady) > 2 else steady
+    trimmed = sum(core) / len(core)
     print(
         json.dumps(
             {
@@ -75,11 +87,14 @@ def main() -> None:
                 "n_vertices": args.vertices,
                 "n_edges": n_edges,
                 "iters": args.iters,
+                "partitions": args.partitions,
                 "total_sec": round(total, 3),
                 "per_iter_sec": [round(s, 3) for s in per_iter],
-                "steady_sec_per_iter": round(sec_per_iter, 3),
-                "edges_per_sec": round(n_edges / sec_per_iter, 1),
-                "iters_per_hour": round(3600.0 / sec_per_iter, 1),
+                "steady_sec_per_iter": round(mn, 3),
+                "median_sec_per_iter": round(median, 3),
+                "trimmed_mean_sec_per_iter": round(trimmed, 3),
+                "edges_per_sec": round(n_edges / mn, 1),
+                "iters_per_hour": round(3600.0 / mn, 1),
             }
         )
     )

@@ -37,6 +37,9 @@ def run_pagerank(cpus: int, args, kernel: str) -> dict:
         "--edges", str(args.edges),
         "--iters", str(args.iters),
         "--kernel", kernel,
+        # identical job at both levels: fixed partition count (see
+        # bench_pagerank.py — partitions = f(cpus) changes the work shape)
+        "--partitions", str(args.partitions),
     ]
     last_err = None
     for attempt in range(2):  # one retry: transient JVM/host failures happen
@@ -75,13 +78,48 @@ print(time.monotonic()-t0)
     return float(out.stdout.strip().splitlines()[-1])
 
 
+def run_membw_control(workers: int) -> float:
+    """Memory-bandwidth control: aggregate seconds for a fixed amount of
+    the sem kernel's own numpy workload (gather + bincount over large
+    arrays) split across ``workers`` processes. The xxhash control is
+    compute-bound and blind to the shared VM's memory-bandwidth ceiling,
+    which is exactly what bounds the sem kernel."""
+    code = f"""
+import multiprocessing as mp, time
+import numpy as np
+
+def task(_):
+    rng = np.random.default_rng(7)
+    n_e, n_v = 6_000_000, 500_000
+    src_inv = rng.integers(0, n_v, n_e).astype(np.int32)
+    dst_inv = rng.integers(0, n_v, n_e).astype(np.int32)
+    vals = rng.random(n_v)
+    t0 = time.monotonic()
+    for _ in range(8):
+        contrib = vals[src_inv]
+        np.bincount(dst_inv, weights=contrib, minlength=n_v)
+    return time.monotonic() - t0
+
+if __name__ == "__main__":
+    with mp.Pool({workers}) as p:
+        # fixed total work: 32 tasks regardless of worker count
+        times = p.map(task, range(32))
+    print(sum(times) / {workers})
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+    )
+    return float(out.stdout.strip().splitlines()[-1])
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=2, help="small parallelism N (big = 4N)")
+    ap.add_argument("--n", type=int, default=8, help="small parallelism N (big = 4N)")
     ap.add_argument("--vertices", type=int, default=1_000_000)
     ap.add_argument("--edges", type=int, default=20_000_000)
     ap.add_argument("--iters", type=int, default=8)
-    ap.add_argument("--kernels", default="sql,csr")
+    ap.add_argument("--kernels", default="sql,sem")
+    ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     args = ap.parse_args()
 
@@ -90,70 +128,105 @@ def main() -> None:
     for kernel in args.kernels.split(","):
         lo = run_pagerank(n, args, kernel)
         hi = run_pagerank(n4, args, kernel)
-        eff = (lo["steady_sec_per_iter"] / hi["steady_sec_per_iter"]) / 4.0
-        results[kernel] = {"lo": lo, "hi": hi, "efficiency": round(eff, 3)}
-        print(f"[{kernel}] local[{n}]={lo['steady_sec_per_iter']}s/iter "
-              f"local[{n4}]={hi['steady_sec_per_iter']}s/iter eff={eff:.2f}", flush=True)
+        # gate on the trimmed mean (ADVICE: a ratio of two single-sample
+        # minima swings with one lucky/unlucky superstep); min still
+        # reported as the per-superstep noise floor
+        eff = (lo["trimmed_mean_sec_per_iter"] / hi["trimmed_mean_sec_per_iter"]) / 4.0
+        eff_min = (lo["steady_sec_per_iter"] / hi["steady_sec_per_iter"]) / 4.0
+        results[kernel] = {
+            "lo": lo, "hi": hi,
+            "efficiency": round(eff, 3),
+            "efficiency_min_based": round(eff_min, 3),
+        }
+        print(f"[{kernel}] local[{n}]={lo['trimmed_mean_sec_per_iter']}s/iter "
+              f"local[{n4}]={hi['trimmed_mean_sec_per_iter']}s/iter eff={eff:.2f}",
+              flush=True)
 
     cpu_lo = run_cpu_control(n)
     cpu_hi = run_cpu_control(n4)
     cpu_eff = (cpu_lo / cpu_hi) / 4.0
     print(f"[cpu-control] local[{n}]={cpu_lo:.2f}s local[{n4}]={cpu_hi:.2f}s eff={cpu_eff:.2f}")
+    bw_lo = run_membw_control(n)
+    bw_hi = run_membw_control(n4)
+    bw_eff = (bw_lo / bw_hi) / 4.0
+    print(f"[membw-control] {n}w={bw_lo:.2f}s {n4}w={bw_hi:.2f}s eff={bw_eff:.2f}")
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
-        f.write(render_md(n, n4, args, results, cpu_lo, cpu_hi, cpu_eff))
+        f.write(render_md(n, n4, args, results, cpu_lo, cpu_hi, cpu_eff,
+                          bw_lo, bw_hi, bw_eff))
     print(f"wrote {args.out}")
 
 
-def render_md(n, n4, args, results, cpu_lo, cpu_hi, cpu_eff) -> str:
+def render_md(n, n4, args, results, cpu_lo, cpu_hi, cpu_eff,
+              bw_lo, bw_hi, bw_eff) -> str:
     lines = [
         "# BENCH/BASELINE — measured PageRank throughput & scaling evidence",
         "",
         "North rule (BASELINE.json): throughput scaling efficiency >= 0.8 from",
-        "N to 4N executors. Sandbox protocol (task brief): same job, same",
-        "input, two parallelism levels; efficiency = (T_N / T_4N) / 4.",
+        "N to 4N executors. Sandbox protocol (task brief + BASELINE.md): same",
+        f"job, same input, local[{n}] vs local[{n4}];",
+        "efficiency = (T_N / T_4N) / 4.",
         "",
         f"- Input: deterministic power-law digraph, |V|={args.vertices:,}, "
         f"~|E|={args.edges:,} (linkgraph/benchgen.py)",
-        f"- Job: PageRank, {args.iters} supersteps, eps=0 (fixed work per iter);",
-        "  steady-state sec/superstep = MIN after 2 warmup iterations (noise",
-        "  floor: the sandbox VM shows bursty hypervisor CPU-steal stalls of",
-        "  10-50 s on random supersteps — visible as outliers in the raw",
-        "  per-iteration JSON below; each superstep does identical work, so",
-        "  the minimum estimates true cost, same rationale as timeit)",
-        f"- Host: 32 physical cores (1 thread/core), 125 GiB RAM, PySpark 4.1.2,",
-        "  OpenJDK 17, tmpfs shuffle dirs; single-JVM local mode",
+        f"- Job: PageRank, {args.iters} supersteps, eps=0 (fixed work per",
+        f"  iter), {args.partitions} partitions at BOTH levels (decoupled",
+        "  from core count so the job — shuffle layout, sem edge blocks,",
+        "  hub replication — is identical; only parallelism varies).",
+        "- Estimators over post-warmup supersteps (2 dropped): **min** is",
+        "  the per-superstep noise floor under the VM's bursty hypervisor",
+        "  CPU-steal stalls (timeit rationale) and prices throughput;",
+        "  **median** is what a user sees; the **trimmed mean** (drop one",
+        "  min + one max) GATES scaling efficiency — a ratio of two",
+        "  single-sample minima swings with one lucky superstep. (Earlier",
+        "  rounds gated on min; the estimator change is deliberate.)",
+        "- Host: 32 physical cores (1 thread/core), 125 GiB RAM, PySpark",
+        "  4.1.2, OpenJDK 17, tmpfs shuffle dirs; single-JVM local mode",
         "",
-        "| kernel | config | sec/superstep | edges/sec | iters/hour |",
-        "| --- | --- | --- | --- | --- |",
+        "| kernel | config | min s/superstep | median | trimmed mean | edges/sec (min) | iters/hour |",
+        "| --- | --- | --- | --- | --- | --- | --- |",
     ]
     for kernel, r in results.items():
         for side, label in (("lo", f"local[{n}]"), ("hi", f"local[{n4}]")):
             d = r[side]
             lines.append(
                 f"| {kernel} | {label} | {d['steady_sec_per_iter']} | "
+                f"{d['median_sec_per_iter']} | {d['trimmed_mean_sec_per_iter']} | "
                 f"{d['edges_per_sec']:,.0f} | {d['iters_per_hour']} |"
             )
     lines += ["", "## Scaling efficiency (N -> 4N)", ""]
-    lines.append("| job | efficiency | meets >= 0.8? |")
-    lines.append("| --- | --- | --- |")
+    lines.append("| job | efficiency (trimmed mean) | efficiency (min) | meets >= 0.8? |")
+    lines.append("| --- | --- | --- | --- |")
     for kernel, r in results.items():
         ok = "YES" if r["efficiency"] >= 0.8 else "no"
-        lines.append(f"| pagerank/{kernel} | {r['efficiency']} | {ok} |")
+        lines.append(
+            f"| pagerank/{kernel} | {r['efficiency']} | "
+            f"{r['efficiency_min_based']} | {ok} |"
+        )
     lines.append(
-        f"| pure-compute control (xxhash scan) | {cpu_eff:.2f} | "
-        f"(host ceiling: {cpu_lo:.1f}s -> {cpu_hi:.1f}s) |"
+        f"| pure-compute control (xxhash scan) | {cpu_eff:.2f} | — | "
+        f"(host compute ceiling: {cpu_lo:.1f}s -> {cpu_hi:.1f}s) |"
+    )
+    lines.append(
+        f"| memory-bandwidth control (numpy gather+bincount) | {bw_eff:.2f} | — | "
+        f"(host bandwidth ceiling: {bw_lo:.1f}s -> {bw_hi:.1f}s) |"
     )
     lines += [
         "",
-        "The pure-compute control documents the host's own scaling ceiling",
-        "(shared VM; per-core frequency drops as more cores load). PageRank",
-        "efficiency should be read against that ceiling: an efficiency equal",
-        "to the control's means the engine adds no scaling bottleneck of its",
-        "own. On a real multi-executor cluster each executor brings its own",
-        "memory bandwidth and shuffle disks, which is the regime the >= 0.8",
-        "criterion targets.",
+        "The two controls document the host's own scaling ceilings on this",
+        "shared VM: the xxhash scan is compute-bound (per-core frequency",
+        "drops as cores load); the gather+bincount control runs the sem",
+        "kernel's exact numpy inner loop and is DRAM-bandwidth-bound — the",
+        "bandwidth a fixed amount of that work gets does not grow 4x when",
+        "worker count does. Kernel efficiencies must be read against the",
+        "matching control: the sql kernel (JVM hash join + partial agg,",
+        "compute-heavy) against the xxhash ceiling; the sem kernel (numpy",
+        "gather/scatter over O(E) arrays) against the bandwidth ceiling.",
+        "A kernel at its control's ceiling adds no scaling bottleneck of",
+        "its own. On a real multi-executor cluster each executor brings",
+        "its own memory bandwidth and shuffle disks, which is the regime",
+        "the >= 0.8 criterion targets.",
         "",
         "Raw per-iteration JSON:",
         "",
@@ -161,6 +234,14 @@ def render_md(n, n4, args, results, cpu_lo, cpu_hi, cpu_eff) -> str:
     ]
     for kernel, r in results.items():
         lines.append(json.dumps({"kernel": kernel, **r}))
+    lines.append(json.dumps({
+        "controls": {
+            "xxhash": {"lo_sec": round(cpu_lo, 2), "hi_sec": round(cpu_hi, 2),
+                       "efficiency": round(cpu_eff, 3)},
+            "membw": {"lo_sec": round(bw_lo, 2), "hi_sec": round(bw_hi, 2),
+                      "efficiency": round(bw_eff, 3)},
+        }
+    }))
     lines += ["```", ""]
     return "\n".join(lines)
 

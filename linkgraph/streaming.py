@@ -166,7 +166,12 @@ def _sessionize_fn(gap_seconds: int):
                     "session_start": pd.to_datetime([o[1] for o in out], unit="us"),
                     "session_end": pd.to_datetime([o[2] for o in out], unit="us"),
                     "n_events": [o[3] for o in out],
-                    "value_sum": [round(o[4], 2) for o in out],
+                    # unrounded: Python round() is banker's (half-to-even)
+                    # while the batch twin uses Spark F.round (HALF_UP) and
+                    # the oracle DuckDB ROUND (half away from zero) — the
+                    # shared rounding happens in one place, Spark-side, in
+                    # sessionize_stream's final projection
+                    "value_sum": [o[4] for o in out],
                 }
             )
 
@@ -190,6 +195,9 @@ def sessionize_stream(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+        # one rounding convention for batch, stream, and oracle: Spark
+        # F.round (HALF_UP), applied to the exact unrounded session sum
+        .withColumn("value_sum", F.round("value_sum", 2))
     )
 
 
