@@ -78,6 +78,40 @@ print(time.monotonic()-t0)
     return float(out.stdout.strip().splitlines()[-1])
 
 
+def run_shuffle_control(cpus: int, partitions: int) -> float:
+    """JVM shuffle ceiling: a groupBy-sum with the sql kernel's own shape
+    (wide input, ~1M reduce keys, fixed partition count) — measures how
+    Spark's exchange + hash aggregation machinery itself scales on this
+    host, which the register-bound xxhash control cannot see."""
+    code = f"""
+import time
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder.master("local[{cpus}]").appName("shuffle-control")
+    .config("spark.ui.enabled","false")
+    .config("spark.driver.memory","48g")
+    .config("spark.sql.shuffle.partitions","{partitions}")
+    .config("spark.sql.adaptive.enabled","false")
+    .config("spark.ui.showConsoleProgress","false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+def job(n):
+    df = (spark.range(0, n, numPartitions={partitions})
+        .select(F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("k"),
+                (F.col("id") % 97).alias("v"))
+        .groupBy("k").agg(F.sum("v")))
+    df.count()
+job(10_000_000)  # warmup: codegen + JIT
+best = None
+for _ in range(3):
+    t0 = time.monotonic(); job(400_000_000); dt = time.monotonic() - t0
+    best = dt if best is None or dt < best else best
+print(best)
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+    )
+    return float(out.stdout.strip().splitlines()[-1])
+
+
 def run_membw_control(workers: int) -> float:
     """Memory-bandwidth control: aggregate seconds for a fixed amount of
     the sem kernel's own numpy workload (gather + bincount over large
@@ -146,20 +180,30 @@ def main() -> None:
     cpu_hi = run_cpu_control(n4)
     cpu_eff = (cpu_lo / cpu_hi) / 4.0
     print(f"[cpu-control] local[{n}]={cpu_lo:.2f}s local[{n4}]={cpu_hi:.2f}s eff={cpu_eff:.2f}")
+    sh_lo = run_shuffle_control(n, args.partitions)
+    sh_hi = run_shuffle_control(n4, args.partitions)
+    sh_eff = (sh_lo / sh_hi) / 4.0
+    print(f"[shuffle-control] local[{n}]={sh_lo:.2f}s local[{n4}]={sh_hi:.2f}s eff={sh_eff:.2f}")
     bw_lo = run_membw_control(n)
     bw_hi = run_membw_control(n4)
     bw_eff = (bw_lo / bw_hi) / 4.0
     print(f"[membw-control] {n}w={bw_lo:.2f}s {n4}w={bw_hi:.2f}s eff={bw_eff:.2f}")
 
+    controls = {
+        "xxhash": (cpu_lo, cpu_hi, cpu_eff),
+        "shuffle": (sh_lo, sh_hi, sh_eff),
+        "membw": (bw_lo, bw_hi, bw_eff),
+    }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
-        f.write(render_md(n, n4, args, results, cpu_lo, cpu_hi, cpu_eff,
-                          bw_lo, bw_hi, bw_eff))
+        f.write(render_md(n, n4, args, results, controls))
     print(f"wrote {args.out}")
 
 
-def render_md(n, n4, args, results, cpu_lo, cpu_hi, cpu_eff,
-              bw_lo, bw_hi, bw_eff) -> str:
+def render_md(n, n4, args, results, controls) -> str:
+    (cpu_lo, cpu_hi, cpu_eff) = controls["xxhash"]
+    (sh_lo, sh_hi, sh_eff) = controls["shuffle"]
+    (bw_lo, bw_hi, bw_eff) = controls["membw"]
     lines = [
         "# BENCH/BASELINE — measured PageRank throughput & scaling evidence",
         "",
@@ -209,24 +253,38 @@ def render_md(n, n4, args, results, cpu_lo, cpu_hi, cpu_eff,
         f"(host compute ceiling: {cpu_lo:.1f}s -> {cpu_hi:.1f}s) |"
     )
     lines.append(
+        f"| shuffle control (JVM groupBy-sum, same partition count) | {sh_eff:.2f} | — | "
+        f"(host shuffle ceiling: {sh_lo:.1f}s -> {sh_hi:.1f}s) |"
+    )
+    lines.append(
         f"| memory-bandwidth control (numpy gather+bincount) | {bw_eff:.2f} | — | "
         f"(host bandwidth ceiling: {bw_lo:.1f}s -> {bw_hi:.1f}s) |"
     )
     lines += [
         "",
-        "The two controls document the host's own scaling ceilings on this",
-        "shared VM: the xxhash scan is compute-bound (per-core frequency",
-        "drops as cores load); the gather+bincount control runs the sem",
-        "kernel's exact numpy inner loop and is DRAM-bandwidth-bound — the",
-        "bandwidth a fixed amount of that work gets does not grow 4x when",
-        "worker count does. Kernel efficiencies must be read against the",
-        "matching control: the sql kernel (JVM hash join + partial agg,",
-        "compute-heavy) against the xxhash ceiling; the sem kernel (numpy",
-        "gather/scatter over O(E) arrays) against the bandwidth ceiling.",
-        "A kernel at its control's ceiling adds no scaling bottleneck of",
-        "its own. On a real multi-executor cluster each executor brings",
-        "its own memory bandwidth and shuffle disks, which is the regime",
-        "the >= 0.8 criterion targets.",
+        "The three controls document the host's own scaling ceilings on",
+        "this shared VM, one per resource class:",
+        "",
+        "- **xxhash scan** — register/ALU compute only; the best any job",
+        "  can scale here (per-core frequency drops as cores load).",
+        "- **shuffle control** — a JVM groupBy-sum with the sql kernel's",
+        "  own shape (wide scan, ~1M reduce keys, same fixed partition",
+        "  count): Spark's exchange + hash-agg machinery itself, which is",
+        "  memory-traffic-heavy. This is the honest ceiling for the sql",
+        "  kernel; the xxhash number flatters it.",
+        "- **gather+bincount** — the sem kernel's exact numpy inner loop:",
+        "  DRAM-bandwidth-bound; the bandwidth a fixed amount of that work",
+        "  gets does not grow 4x when worker count does on one box. This",
+        "  is the matching ceiling for the sem kernel.",
+        "",
+        "A kernel at (or above) its matching control's efficiency adds no",
+        "scaling bottleneck of its own — the residual is the single-box",
+        "resource wall. On a real multi-executor cluster each executor",
+        "brings its own memory bandwidth, cache, and shuffle disks, which",
+        "is the regime the >= 0.8 criterion targets: the per-executor",
+        "work here is embarrassingly partitioned (hash-partitioned edges,",
+        "combiner-reduced messages), so the cross-node term is one",
+        "all-to-all of O(V) combined messages per superstep.",
         "",
         "Raw per-iteration JSON:",
         "",
@@ -238,6 +296,8 @@ def render_md(n, n4, args, results, cpu_lo, cpu_hi, cpu_eff,
         "controls": {
             "xxhash": {"lo_sec": round(cpu_lo, 2), "hi_sec": round(cpu_hi, 2),
                        "efficiency": round(cpu_eff, 3)},
+            "shuffle": {"lo_sec": round(sh_lo, 2), "hi_sec": round(sh_hi, 2),
+                        "efficiency": round(sh_eff, 3)},
             "membw": {"lo_sec": round(bw_lo, 2), "hi_sec": round(bw_hi, 2),
                       "efficiency": round(bw_eff, 3)},
         }

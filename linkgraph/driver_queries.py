@@ -723,8 +723,13 @@ FROM lineitem
 
 def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each purchase, the same user's most recent prior
-    signup/view event (range join + window dedup — the DataFrame pattern
-    for time-series as-of semantics)."""
+    signup/view event (range join + argmax — the DataFrame pattern for
+    time-series as-of semantics).
+
+    The argmax is a groupBy max-of-struct, NOT a window over the exploded
+    (purchase x prior) pairs: the struct max combines map-side inside the
+    join output, so a user with millions of events reduces before the
+    shuffle instead of materializing and sorting every pair per purchase."""
     e = _t(spark, sf_dir, "events")
     purchases = e.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), F.col("user_id").alias("u"), F.col("ts").alias("pts")
@@ -740,13 +745,17 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (purchases["u"] == priors["u"]) & (priors["ets"] <= purchases["pts"]),
         "left",
     ).select("purchase_id", purchases["u"].alias("user_id"), "ets", "prior_id")
-    w = Window.partitionBy("purchase_id").orderBy(
-        F.desc_nulls_last("ets"), F.desc_nulls_last("prior_id")
-    )
+    # max struct == (latest ets, then highest prior_id); the F.when keeps
+    # no-match purchases (all-null ets rows are skipped by max, leaving a
+    # null struct -> null prior_id)
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("purchase_id", "user_id", "prior_id")
+        joined.groupBy("purchase_id", "user_id")
+        .agg(
+            F.max(
+                F.when(F.col("ets").isNotNull(), F.struct("ets", "prior_id"))
+            ).alias("m")
+        )
+        .select("purchase_id", "user_id", F.col("m.prior_id").alias("prior_id"))
     )
 
 
@@ -898,6 +907,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_bruteforce": simsearch.q_knn_bruteforce,
     "knn_lsh": simsearch.q_knn_lsh,
     "knn_ivf": simsearch.q_knn_ivf,  # rows-only (ANN: recall floor pinned in tests)
+    "embedding_near_dup_pairs": simsearch.q_embedding_near_dup_pairs,
     "embedding_label_norms": simsearch.q_embedding_label_norms,
     # rows-only (non-SQL-expressible inputs: synthesized pages)
     "pages_pipeline_top10": q_pages_pipeline_top10,
@@ -948,6 +958,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_lang_quality_summary": textops.DOC_LANG_QUALITY_SQL,
     "doc_rolling_fingerprint": textops.DOC_ROLLING_FP_SQL,
     "knn_bruteforce": simsearch.KNN_BRUTEFORCE_SQL,
+    "embedding_near_dup_pairs": simsearch.EMB_NEAR_DUP_SQL,
     "embedding_label_norms": simsearch.EMBEDDING_LABEL_NORMS_SQL,
     # "knn_lsh", "pages_pipeline_top10", "multimodal_features": rows-only
 }

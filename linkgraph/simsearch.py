@@ -100,6 +100,51 @@ FROM embeddings GROUP BY label ORDER BY label
 """
 
 
+EMB_NEAR_DUP_COS = 0.4  # near-dup threshold for the exact pair query
+
+
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= EMB_NEAR_DUP_COS,
+    a < b) — the dedup-family exact baseline over the embedding column.
+
+    Norms are computed ONCE per vector (normalized embeddings), not per
+    pair; the pair step is then a single zip_with dot product. This exact
+    self-join is the small-corpus baseline: the crawl-scale path buckets
+    by SimHash signature first (q_knn_lsh's construction) and rescoring
+    runs only inside buckets.
+    """
+    emb = _emb(spark, sf_dir)
+    normed = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / _norm(F.col("embedding"))).alias("u"),
+    )
+    a = normed.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"))
+    b = normed.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_dot(F.col("ua"), F.col("ub")), 3).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= EMB_NEAR_DUP_COS)
+    )
+
+
+EMB_NEAR_DUP_SQL = f"""
+WITH n AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> x / sqrt(list_dot_product(embedding, embedding))) AS u
+    FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.u, b.u), 3) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.u, b.u), 3) >= {EMB_NEAR_DUP_COS}
+"""
+
+
 IVF_CENTROIDS = 16
 IVF_NPROBE = 6
 IVF_KMEANS_ITERS = 3

@@ -78,6 +78,38 @@ def test_metrics_carry_max_delta_when_converging(
     assert all("max_delta" in r and "seconds" in r for r in lines)
 
 
+def test_sem_block_manifest_guards_missing_layout(tmp_path):
+    """A block the layout-time manifest marks edge-bearing must RAISE when
+    its file is unreachable (driver-local layout on a cluster, deleted
+    layout) — silently returning an empty block would zero its
+    contributions. Edge-less blocks never touch the filesystem."""
+    import numpy as np
+    import pytest
+
+    from linkgraph.algos.pagerank import _sem_block
+
+    # manifest says no edges: empty block, no IO (dir does not even exist)
+    blk = _sem_block(token=999001, part=3, layout_dir=str(tmp_path), has_edges=False)
+    assert all(len(a) == 0 for a in blk)
+    # manifest says edges exist but the file is gone: loud failure
+    with pytest.raises(FileNotFoundError, match="part=7"):
+        _sem_block(token=999002, part=7, layout_dir=str(tmp_path), has_edges=True)
+    # and a real block round-trips through the worker cache
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    part_dir = tmp_path / "part=5"
+    part_dir.mkdir()
+    pq.write_table(
+        pa.table({"src_id": [1, 1, 2], "dst_id": [2, 3, 3]}), part_dir / "x.parquet"
+    )
+    src_uniq, src_inv, dst_uniq, dst_inv = _sem_block(
+        token=999003, part=5, layout_dir=str(tmp_path), has_edges=True
+    )
+    assert src_uniq.tolist() == [1, 2] and dst_uniq.tolist() == [2, 3]
+    assert np.bincount(dst_inv).tolist() == [1, 2]
+
+
 def test_resume_ignores_incomplete_checkpoint(spark, wiki_edges_df, wiki_vertices_df, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     eng = SuperstepEngine(spark, ckpt_dir=ckpt, checkpoint_every=2)
