@@ -28,7 +28,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linkgraph.build import vertex_ids_from_edges
+from linkgraph.build import gather_layout, vertex_ids_from_edges
 from linkgraph.engine import RunResult, SuperstepEngine
 
 
@@ -52,7 +52,7 @@ def bfs(
     """Level-synchronous BFS; result state = (id, dist, changed)."""
     engine = engine or SuperstepEngine(spark)
     partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    e = edges.select("src_id", "dst_id").repartition(partitions, "src_id").persist()
+    e = gather_layout(edges, partitions)
     ids = vertices.select("id") if vertices is not None else vertex_ids_from_edges(e)
     src_set = {int(s) for s in sources}
     is_src = F.col("id").isin(list(src_set))

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linkgraph.build import symmetrize, vertex_ids_from_edges
+from linkgraph.build import gather_layout, symmetrize, vertex_ids_from_edges
 from linkgraph.engine import RunResult, SuperstepEngine
 
 
@@ -53,7 +53,7 @@ def kcore(
     """
     engine = engine or SuperstepEngine(spark)
     partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    sym = symmetrize(edges).repartition(partitions, "src_id").persist()
+    sym = gather_layout(symmetrize(edges), partitions)
     ids = vertices.select("id") if vertices is not None else vertex_ids_from_edges(edges)
     deg0 = sym.groupBy(F.col("src_id").alias("id")).agg(
         F.count(F.lit(1)).alias("deg")

@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linkgraph.build import vertex_ids_from_edges
+from linkgraph.build import gather_layout, vertex_ids_from_edges
 from linkgraph.conventions import (
     HUB_OUTDEG_THRESHOLD,
     PR_DAMPING,
@@ -125,13 +125,14 @@ def pagerank(
     """
     engine = engine or SuperstepEngine(spark)
     partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # Loop-invariant edge table: hash-partition by the gather key ONCE and
-    # persist. Every superstep's join then reuses this partitioning (the
-    # plan shows InMemoryTableScan feeding ShuffledHashJoin with no
-    # Exchange) — only the small vertex-state side shuffles per iteration.
-    # This is the Spark analogue of FlashGraph keeping the graph image
-    # partitioned across SSDs while vertex state moves (FAST'15 §3.6).
-    edges = edges.select("src_id", "dst_id").repartition(partitions, "src_id").persist()
+    # Loop-invariant edge table: hash-partition by the gather key ONCE,
+    # sorted within partitions, and persist (build.gather_layout). Every
+    # superstep's gather join then reuses the layout with no edge-side
+    # Exchange and no per-superstep Sort — the SMJ streams the cached
+    # sorted edges against the (already id-sorted) vertex state. This is
+    # the Spark analogue of FlashGraph keeping the graph image partitioned
+    # across SSDs while vertex state moves (FAST'15 §3.6).
+    edges = gather_layout(edges, partitions)
     state0 = _initial_state(edges, vertices, damping, personalized).withColumn(
         "prev_rank", F.lit(0.0)
     )

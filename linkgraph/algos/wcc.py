@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linkgraph.build import symmetrize, vertex_ids_from_edges
+from linkgraph.build import gather_layout, symmetrize, vertex_ids_from_edges
 from linkgraph.engine import RunResult, SuperstepEngine
 
 
@@ -39,9 +39,9 @@ def wcc(
     """Run WCC to fixpoint; result state = (id, comp, changed)."""
     engine = engine or SuperstepEngine(spark)
     partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # loop-invariant; pre-partitioned on the gather key so per-superstep
-    # joins reuse the layout (see pagerank.py for the rationale)
-    sym = symmetrize(edges).repartition(partitions, "src_id").persist()
+    # loop-invariant; pre-partitioned + pre-sorted on the gather key so
+    # per-superstep joins reuse the layout with no Sort (build.gather_layout)
+    sym = gather_layout(symmetrize(edges), partitions)
     ids = vertices.select("id") if vertices is not None else vertex_ids_from_edges(edges)
     state0 = ids.select(
         "id", F.col("id").alias("comp"), F.lit(True).alias("changed")

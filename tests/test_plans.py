@@ -69,6 +69,58 @@ def test_superstep_join_reuses_edge_partitioning(spark, wiki_edges_df):
     assert "Exchange" not in between, plan
 
 
+def test_gather_layout_superstep_is_streaming_smj(spark, wiki_edges_df):
+    """With the sorted edge cache (build.gather_layout) and id-sorted
+    checkpointed state, the in-loop gather join must plan as a sort-merge
+    join that streams BOTH sides: no Sort over the edge cache and no hash
+    build of it per superstep (the cost model would otherwise pick a
+    shuffled-hash join built on the O(E) edge side, because the
+    checkpointed state scan has unknown stats — the plan regression the
+    engine's in-loop preferSortMergeJoin=true guards against)."""
+    from linkgraph.build import gather_layout
+
+    edges = gather_layout(wiki_edges_df, 8)
+    edges.count()
+    state = (
+        spark.range(200)
+        .repartition(8, "id")
+        .sortWithinPartitions("id")
+        .select("id", F.lit(0.15).alias("rank"), F.lit(2).alias("out_deg"))
+        .localCheckpoint(eager=True)
+    )
+    contribs = state.select(
+        F.col("id").alias("src_id"), (F.col("rank") / F.col("out_deg")).alias("contrib")
+    )
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    smj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+    try:
+        msgs = edges.join(contribs, "src_id").groupBy("dst_id").agg(
+            F.sum("contrib").alias("s")
+        )
+        plan = _plan(msgs)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", smj)
+    edges.unpersist()
+    # at fixture scale the known-small state side may auto-broadcast (BHJ,
+    # edge side streamed) — equally fine; what must NEVER happen is a
+    # shuffled-hash join that BUILDS on the edge side
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    lines = plan.splitlines()
+    join_idx = next(i for i, l in enumerate(lines) if "Join" in l)
+    scan_idx = next(i for i, l in enumerate(lines) if "InMemoryTableScan" in l)
+    assert join_idx < scan_idx, plan
+    # between the join and the cached edge scan there must be neither an
+    # Exchange (re-shuffle) nor a Sort (re-sort) — the cache's own build
+    # plan below InMemoryRelation legitimately contains both, once
+    between = "\n".join(lines[join_idx + 1 : scan_idx])
+    assert "Exchange" not in between, plan
+    assert "Sort" not in between, plan
+
+
 def test_wholestage_codegen_on_agg_path(spark):
     df = (
         spark.read.parquet(f"{SF}/lineitem.parquet")
