@@ -154,14 +154,23 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--kernels", default="sql,sem")
     ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="runs per (kernel, level); best trimmed mean gates")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     args = ap.parse_args()
 
     n, n4 = args.n, 4 * args.n
     results: dict[str, dict] = {}
     for kernel in args.kernels.split(","):
-        lo = run_pagerank(n, args, kernel)
-        hi = run_pagerank(n4, args, kernel)
+        # min-of-k-repeats per level (ADVICE): the shared VM has slow
+        # *phases* lasting minutes — a single lo/hi pair measured in
+        # different phases corrupts the ratio in either direction. The
+        # best-of-k trimmed mean per level estimates each level's
+        # quiet-host cost; all repeats are recorded for transparency.
+        lo_runs = [run_pagerank(n, args, kernel) for _ in range(args.repeats)]
+        hi_runs = [run_pagerank(n4, args, kernel) for _ in range(args.repeats)]
+        lo = min(lo_runs, key=lambda r: r["trimmed_mean_sec_per_iter"])
+        hi = min(hi_runs, key=lambda r: r["trimmed_mean_sec_per_iter"])
         # gate on the trimmed mean (ADVICE: a ratio of two single-sample
         # minima swings with one lucky/unlucky superstep); min still
         # reported as the per-superstep noise floor
@@ -169,6 +178,8 @@ def main() -> None:
         eff_min = (lo["steady_sec_per_iter"] / hi["steady_sec_per_iter"]) / 4.0
         results[kernel] = {
             "lo": lo, "hi": hi,
+            "lo_repeats_trimmed": [r["trimmed_mean_sec_per_iter"] for r in lo_runs],
+            "hi_repeats_trimmed": [r["trimmed_mean_sec_per_iter"] for r in hi_runs],
             "efficiency": round(eff, 3),
             "efficiency_min_based": round(eff_min, 3),
         }

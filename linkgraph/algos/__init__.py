@@ -2,10 +2,20 @@
 (SURVEY.md §2.1 A1–A4)."""
 
 from linkgraph.algos.bfs import bfs
+from linkgraph.algos.hits import hits
 from linkgraph.algos.kcore import kcore
 from linkgraph.algos.labelprop import label_propagation
 from linkgraph.algos.pagerank import pagerank
 from linkgraph.algos.triangles import triangle_counts
-from linkgraph.algos.wcc import wcc
+from linkgraph.algos.wcc import wcc, wcc_star
 
-__all__ = ["pagerank", "wcc", "label_propagation", "triangle_counts", "bfs", "kcore"]
+__all__ = [
+    "pagerank",
+    "wcc",
+    "wcc_star",
+    "label_propagation",
+    "triangle_counts",
+    "bfs",
+    "kcore",
+    "hits",
+]

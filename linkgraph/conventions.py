@@ -34,6 +34,13 @@ PR_MAX_ITERS: int = 100
 # Label propagation
 LP_ITERS: int = 10
 
+# HITS (hubs & authorities) — synchronous/Jacobi update: both gathers read
+# the PREVIOUS state (auth_k from hub_{k-1}, hub_k from auth_{k-1}), each
+# side L1-normalized at iteration start; final scores L1-normalized.
+# Jacobi (not Gauss-Seidel) keeps each superstep a single pass over both
+# edge layouts with no intra-step dependency (no double-computed subtree).
+HITS_ITERS: int = 5
+
 # Engine defaults
 CHECKPOINT_EVERY: int = 5
 DEFAULT_SHUFFLE_PARTITIONS: int = 32

@@ -191,6 +191,77 @@ def q_graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", "comp")
 
 
+def q_graph_wcc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same components via the large-star/small-star contraction kernel
+    (O(log n) rounds — the web-scale CC path); oracle identical to
+    ``graph_wcc``."""
+    from linkgraph.algos import wcc_star
+
+    e = lineitem_edges(spark, sf_dir)
+    res = wcc_star(spark, e)
+    return res.state.select("id", "comp")
+
+
+def q_graph_hits_5iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration Jacobi HITS (conventions.HITS_ITERS); final scores
+    L1-normalized, rounded for hash-stable comparison."""
+    from linkgraph.algos import hits
+    from linkgraph.algos.hits import normalized_scores
+
+    e = lineitem_edges(spark, sf_dir)
+    res = hits(spark, e, iters=5)
+    return normalized_scores(res.state).select(
+        "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+
+def _hits_sql(iters: int) -> str:
+    """Unrolled Jacobi HITS CTE chain mirroring linkgraph/algos/hits.py:
+    per iteration, L1-normalize the previous state, then gather auth from
+    normalized hubs (forward) and hub from normalized auths (reverse)."""
+    ctes = [
+        _EDGES_SQL,
+        _VERTS_SQL,
+        "s0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS hub, CAST(1.0 AS DOUBLE) AS auth FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"""n{k} AS MATERIALIZED (
+    SELECT id,
+           hub / (SELECT SUM(hub) FROM s{p}) AS hub_n,
+           auth / (SELECT SUM(auth) FROM s{p}) AS auth_n
+    FROM s{p}
+)"""
+        )
+        ctes.append(
+            f"""s{k} AS MATERIALIZED (
+    SELECT v.id,
+           COALESCE(h.s, 0) AS hub,
+           COALESCE(a.s, 0) AS auth
+    FROM verts v
+    LEFT JOIN (
+        SELECT e.dst_id AS id, SUM(n.hub_n) AS s
+        FROM edges e JOIN n{k} n ON e.src_id = n.id
+        GROUP BY e.dst_id
+    ) a ON a.id = v.id
+    LEFT JOIN (
+        SELECT e.src_id AS id, SUM(n.auth_n) AS s
+        FROM edges e JOIN n{k} n ON e.dst_id = n.id
+        GROUP BY e.src_id
+    ) h ON h.id = v.id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT id,
+       ROUND(hub / (SELECT SUM(hub) FROM s{iters}), 6) AS hub,
+       ROUND(auth / (SELECT SUM(auth) FROM s{iters}), 6) AS auth
+FROM s{iters}"""
+    )
+
+
 _WCC_SQL = f"""
 WITH RECURSIVE {_EDGES_SQL.strip()}, {_VERTS_SQL.strip()}, {_SYM_SQL.strip()},
 reach(v, u) AS (
@@ -867,6 +938,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank_5iter_sem": q_graph_pagerank_5iter_sem,
     "graph_ppr_5iter": q_graph_ppr_5iter,
     "graph_wcc": q_graph_wcc,
+    "graph_wcc_star": q_graph_wcc_star,
+    "graph_hits_5iter": q_graph_hits_5iter,
     "graph_lp_1round": q_graph_lp_1round,
     "graph_lp_3round": q_graph_lp_3round,
     "graph_triangles": q_graph_triangles,
@@ -922,6 +995,8 @@ ORACLE_SQL: dict[str, str] = {
     "graph_pagerank_5iter_sem": _pagerank_sql(5),
     "graph_ppr_5iter": _ppr_sql(5, PPR_SOURCES),
     "graph_wcc": _WCC_SQL,
+    "graph_wcc_star": _WCC_SQL,
+    "graph_hits_5iter": _hits_sql(5),
     "graph_lp_1round": _LP1_SQL,
     "graph_lp_3round": _lp_sql(LP_ORACLE_ROUNDS),
     "graph_triangles": _TRI_SQL,

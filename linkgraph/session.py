@@ -36,9 +36,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # iterative gather joins: the edge table is pre-hash-partitioned on
-        # src_id and persisted; shuffled-hash join streams it without the
-        # per-superstep sort SMJ would add (see linkgraph/algos/pagerank.py)
+        # one-shot relational queries: prefer shuffled-hash over SMJ's
+        # extra sorts. Iterative superstep loops OVERRIDE this to true for
+        # their duration (SuperstepEngine.run): there both join sides are
+        # pre-sorted + co-partitioned (build.gather_layout / checkpointed
+        # state), so SMJ streams with zero sorts, while the cost model's
+        # SHJ would hash-build the O(E) edge cache every superstep (the
+        # checkpointed state scan has unknown stats and looks huge).
         .config("spark.sql.join.preferSortMergeJoin", "false")
         # local mode: driver JVM == all executors; size the heap for the
         # thread count or 32 threads' shuffle buffers thrash an 8g heap

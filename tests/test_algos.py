@@ -110,6 +110,78 @@ def test_wcc_exact(spark, wiki_edges_df, wiki_vertices_df):
     assert (got == want).all()
 
 
+def test_wcc_star_equals_frontier(spark, wiki_edges_df, wiki_vertices_df):
+    """The large-star/small-star contraction kernel must produce exactly
+    the frontier kernel's components — and in far fewer rounds than the
+    graph's diameter-bound frontier iteration count."""
+    from linkgraph.algos import wcc_star
+
+    res = wcc_star(spark, wiki_edges_df, vertices=wiki_vertices_df)
+    got = _vec(res.state.select("id", "comp"), "comp")
+    want = golden("wcc").sort_values("id")["comp"].to_numpy()
+    assert (got == want).all()
+    assert res.iterations <= 10  # O(log n) contraction, not O(diameter)
+
+
+def test_wcc_star_random_graphs_match_networkx(spark):
+    """Star contraction on adversarial random graphs (long paths + cliques
+    + isolated vertices) vs networkx connected components."""
+    import networkx as nx
+    from linkgraph.algos import wcc_star
+    from linkgraph.synth import edges_df
+
+    rng = np.random.default_rng(11)
+    n = 300
+    edges = []
+    # a long path (worst case for frontier, stress for contraction)
+    edges += [(i, i + 1) for i in range(0, 80)]
+    # random clusters
+    for lo in range(100, 280, 30):
+        members = rng.integers(lo, lo + 30, size=40)
+        edges += [(int(a), int(b)) for a, b in zip(members[:-1], members[1:]) if a != b]
+    arr = np.array(edges, dtype=np.int64)
+    res = wcc_star(
+        spark,
+        edges_df(spark, arr),
+        vertices=spark.range(n).selectExpr("id"),
+    )
+    got = {r["id"]: r["comp"] for r in res.state.collect()}
+    g = nx.Graph()
+    g.add_nodes_from(range(n))
+    g.add_edges_from(arr.tolist())
+    for comp_nodes in nx.connected_components(g):
+        root = min(comp_nodes)
+        for v in comp_nodes:
+            assert got[v] == root, (v, got[v], root)
+
+
+def test_hits_matches_numpy_power_iteration(spark, wiki_edges_df, wiki_vertices_df, wiki_edges):
+    """Jacobi HITS == inline numpy implementing the same pinned convention
+    (L1-normalize previous state, gather both directions from it)."""
+    from linkgraph.algos import hits
+    from linkgraph.algos.hits import normalized_scores
+
+    iters = 5
+    res = hits(spark, wiki_edges_df, vertices=wiki_vertices_df, iters=iters)
+    out = normalized_scores(res.state).toPandas().sort_values("id")
+    assert out.id.tolist() == list(range(WIKI_VOTE_N))
+
+    n = WIKI_VOTE_N
+    a = np.zeros((n, n))
+    for s, d in wiki_edges:
+        a[s, d] = 1.0
+    hub = np.ones(n)
+    auth = np.ones(n)
+    for _ in range(iters):
+        hub_n = hub / hub.sum()
+        auth_n = auth / auth.sum()
+        auth, hub = a.T @ hub_n, a @ auth_n
+    hub /= hub.sum()
+    auth /= auth.sum()
+    np.testing.assert_allclose(out["hub"].to_numpy(), hub, atol=1e-9)
+    np.testing.assert_allclose(out["auth"].to_numpy(), auth, atol=1e-9)
+
+
 def test_lp_exact(spark, wiki_edges_df, wiki_vertices_df):
     res = label_propagation(spark, wiki_edges_df, vertices=wiki_vertices_df)
     got = _vec(res.state.select("id", "label"), "label")
