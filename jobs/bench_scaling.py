@@ -273,6 +273,28 @@ def render_md(n, n4, args, results, controls) -> str:
     )
     lines += [
         "",
+        "## Efficiency relative to the same-session host ceiling",
+        "",
+        "The shared VM's OWN scaling ceiling varies by multi-minute host",
+        "phase (hypervisor steal): across sessions the shuffle control has",
+        "measured anywhere from 0.52 to 0.93. Absolute kernel efficiency",
+        "inherits that swing, so the stable, comparable quantity is the",
+        "kernel's efficiency DIVIDED by its matching control's efficiency",
+        "measured in the SAME session — how much scaling the engine",
+        "delivers of what the host permits that hour:",
+        "",
+        "| job | matching control | relative efficiency |",
+        "| --- | --- | --- |",
+    ]
+    ctrl_of = {"sql": ("shuffle", sh_eff), "sem": ("membw", bw_eff)}
+    for kernel, r in results.items():
+        cname, ceff = ctrl_of.get(kernel, ("shuffle", sh_eff))
+        lines.append(
+            f"| pagerank/{kernel} | {cname} ({ceff:.2f}) | "
+            f"{r['efficiency'] / ceff:.2f} |"
+        )
+    lines += [
+        "",
         "The three controls document the host's own scaling ceilings on",
         "this shared VM, one per resource class:",
         "",
