@@ -43,6 +43,31 @@ def test_resume_matches_uninterrupted(spark, wiki_edges_df, wiki_vertices_df, tm
     assert np.allclose(_ranks(full), _ranks(resumed), rtol=0, atol=1e-12)
 
 
+def test_wcc_star_resume_matches_uninterrupted(spark, wiki_edges_df, wiki_vertices_df, tmp_path):
+    """Resume also holds when the checkpointed state is an EDGE LIST (the
+    star-contraction kernel), not a per-vertex table: interrupting after a
+    checkpointed contraction round and resuming yields the identical
+    component assignment."""
+    from linkgraph.algos import wcc_star
+
+    full = wcc_star(spark, wiki_edges_df, vertices=wiki_vertices_df)
+
+    ckpt = str(tmp_path / "ckpt_star")
+    eng = SuperstepEngine(spark, ckpt_dir=ckpt, checkpoint_every=2)
+    partial = wcc_star(
+        spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=2, engine=eng
+    )
+    assert partial.iterations == 2
+    eng2 = SuperstepEngine(spark, ckpt_dir=ckpt, checkpoint_every=2)
+    resumed = wcc_star(
+        spark, wiki_edges_df, vertices=wiki_vertices_df, engine=eng2, resume=True
+    )
+    assert resumed.resumed_from == 2
+    a = full.state.toPandas().sort_values("id")["comp"].to_numpy()
+    b = resumed.state.toPandas().sort_values("id")["comp"].to_numpy()
+    assert (a == b).all()
+
+
 def test_checkpoint_meta_lineage(spark, wiki_edges_df, wiki_vertices_df, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     eng = SuperstepEngine(spark, ckpt_dir=ckpt, checkpoint_every=2)
