@@ -56,15 +56,25 @@ def _initial_state(
     vertices: DataFrame | None,
     damping: float,
     personalized: list[int] | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
+    """``out_deg`` is the contribution normalizer: outgoing edge count for
+    classic PageRank, total outgoing weight for the weighted variant."""
     ids = vertices.select("id") if vertices is not None else vertex_ids_from_edges(edges)
-    out_deg = edges.groupBy(F.col("src_id").alias("id")).agg(
-        F.count(F.lit(1)).alias("out_deg")
-    )
+    if weight_col is not None:
+        out_deg = edges.groupBy(F.col("src_id").alias("id")).agg(
+            F.sum(weight_col).cast("double").alias("out_deg")
+        )
+        norm = F.coalesce("out_deg", F.lit(0.0)).cast("double")
+    else:
+        out_deg = edges.groupBy(F.col("src_id").alias("id")).agg(
+            F.count(F.lit(1)).alias("out_deg")
+        )
+        norm = F.coalesce("out_deg", F.lit(0)).cast("long")
     return ids.join(out_deg, "id", "left").select(
         "id",
         _base_expr(damping, personalized).alias("rank"),
-        F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+        norm.alias("out_deg"),
     )
 
 
@@ -112,6 +122,7 @@ def pagerank(
     resume: bool = False,
     layout_dir: str | None = None,
     personalized: list[int] | None = None,
+    weight_col: str | None = None,
 ) -> RunResult:
     """Run PageRank to convergence; result state = (id, rank, out_deg, prev_rank).
 
@@ -122,9 +133,16 @@ def pagerank(
 
     personalized: optional source-vertex set S; the teleport term becomes
     (1-d)·1{v ∈ S} (personalized PageRank / random walk with restart).
+
+    weight_col: optional edge-weight column (e.g. anchor/link multiplicity
+    on a web graph); the gather becomes r(v) = (1-d) + d·Σ w(u,v)/W(u)·r(u)
+    with W(u) the total outgoing weight. Dangling (W=0) contribute nothing.
+    Supported on the sql kernel.
     """
     engine = engine or SuperstepEngine(spark)
     partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if weight_col is not None and kernel not in ("sql",):
+        raise ValueError("weight_col is supported on the sql kernel")
     # Loop-invariant edge table: hash-partition by the gather key ONCE,
     # sorted within partitions, and persist (build.gather_layout). Every
     # superstep's gather join then reuses the layout with no edge-side
@@ -132,8 +150,9 @@ def pagerank(
     # sorted edges against the (already id-sorted) vertex state. This is
     # the Spark analogue of FlashGraph keeping the graph image partitioned
     # across SSDs while vertex state moves (FAST'15 §3.6).
-    edges = gather_layout(edges, partitions)
-    state0 = _initial_state(edges, vertices, damping, personalized).withColumn(
+    cols = ("src_id", "dst_id") if weight_col is None else ("src_id", "dst_id", weight_col)
+    edges = gather_layout(edges, partitions, cols=cols)
+    state0 = _initial_state(edges, vertices, damping, personalized, weight_col).withColumn(
         "prev_rank", F.lit(0.0)
     )
 
@@ -155,7 +174,7 @@ def pagerank(
                 # table (measured 4x slower than plain, BENCH/BASELINE.md)
                 hot = _hot_dsts(edges, hub_threshold).persist()
                 hot.count()
-            step = _make_sql_step(edges, damping, salted, personalized, hot)
+            step = _make_sql_step(edges, damping, salted, personalized, hot, weight_col)
         elif kernel == "csr_cogroup":
             step = _make_csr_step(
                 spark, edges, damping, partitions, hub_threshold, personalized
@@ -219,13 +238,21 @@ def _hot_dsts(edges: DataFrame, hub_threshold: int) -> DataFrame:
 
 def _make_sql_step(edges: DataFrame, damping: float, salted: bool,
                    personalized: list[int] | None = None,
-                   hot_dsts: DataFrame | None = None):
+                   hot_dsts: DataFrame | None = None,
+                   weight_col: str | None = None):
     def step(state: DataFrame, iteration: int) -> DataFrame:
         contribs = state.filter(F.col("out_deg") > 0).select(
             F.col("id").alias("src_id"),
             (F.col("rank") / F.col("out_deg")).alias("contrib"),
         )
-        gathered = edges.join(contribs, "src_id").select("dst_id", "contrib")
+        joined = edges.join(contribs, "src_id")
+        if weight_col is not None:
+            # weighted gather: r(u)/W(u) scaled by the edge weight w(u,v)
+            gathered = joined.select(
+                "dst_id", (F.col("contrib") * F.col(weight_col)).alias("contrib")
+            )
+        else:
+            gathered = joined.select("dst_id", "contrib")
         if salted:
             msgs = salted_agg(
                 gathered, key="dst_id", value="contrib", agg="sum",

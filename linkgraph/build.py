@@ -148,7 +148,11 @@ def build_graph(
     return Graph(vertices=vertices.persist(), edges=edges)
 
 
-def gather_layout(edges: DataFrame, partitions: int) -> DataFrame:
+def gather_layout(
+    edges: DataFrame,
+    partitions: int,
+    cols: tuple[str, ...] = ("src_id", "dst_id"),
+) -> DataFrame:
     """Loop-invariant edge layout for iterative gather joins: hash-partition
     on the gather key and sort within partitions, then cache.
 
@@ -162,9 +166,10 @@ def gather_layout(edges: DataFrame, partitions: int) -> DataFrame:
     columnar cache, cutting the per-superstep scan's memory traffic.
 
     Caller owns the returned cache (``.unpersist()`` when the loop ends).
+    ``cols`` extends the cached projection (e.g. an edge-weight column).
     """
     return (
-        edges.select("src_id", "dst_id")
+        edges.select(*cols)
         .repartition(partitions, "src_id")
         .sortWithinPartitions("src_id")
         .persist()

@@ -139,6 +139,72 @@ def q_graph_pagerank_5iter_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", F.round("rank", 6).alias("rank"))
 
 
+def lineitem_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted edge view: weight = multiplicity of the (src, dst) pair in
+    lineitem before dedup — the anchor/link-count analogue on a web graph."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            (F.col("l_orderkey") % N_GRAPH).cast("long").alias("src_id"),
+            (F.col("l_partkey") % N_GRAPH).cast("long").alias("dst_id"),
+        )
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .groupBy("src_id", "dst_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+
+
+def q_graph_wpagerank_5iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank: r(v) = (1-d) + d·Σ w(u,v)/W(u)·r(u), 5 fixed
+    iterations over the multiplicity-weighted edge view."""
+    e = lineitem_weighted_edges(spark, sf_dir)
+    res = pagerank(spark, e, max_iters=5, eps=0.0, weight_col="w")
+    return res.state.select("id", F.round("rank", 6).alias("rank"))
+
+
+_WEDGES_SQL = f"""
+wedges AS (
+    SELECT CAST(l_orderkey % {N_GRAPH} AS BIGINT) AS src_id,
+           CAST(l_partkey % {N_GRAPH} AS BIGINT) AS dst_id,
+           CAST(COUNT(*) AS DOUBLE) AS w
+    FROM lineitem
+    WHERE l_orderkey % {N_GRAPH} <> l_partkey % {N_GRAPH}
+    GROUP BY 1, 2
+)"""
+
+
+def _wpagerank_sql(iters: int) -> str:
+    """Unrolled weighted-PageRank CTE chain (mirrors _pagerank_sql with the
+    w/W(u) gather)."""
+    ctes = [
+        _WEDGES_SQL,
+        """verts AS (
+    SELECT DISTINCT id FROM (
+        SELECT src_id AS id FROM wedges UNION ALL SELECT dst_id AS id FROM wedges
+    )
+)""",
+        "outw AS (SELECT src_id AS id, SUM(w) AS out_w FROM wedges GROUP BY src_id)",
+        "r0 AS (SELECT id, CAST(0.15 AS DOUBLE) AS rank FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""r{k} AS (
+    SELECT v.id, 0.15 + 0.85 * COALESCE(s.sum_contrib, 0) AS rank
+    FROM verts v LEFT JOIN (
+        SELECT e.dst_id AS id, SUM(r.rank * e.w / d.out_w) AS sum_contrib
+        FROM wedges e
+        JOIN r{k - 1} r ON e.src_id = r.id
+        JOIN outw d ON d.id = e.src_id
+        GROUP BY e.dst_id
+    ) s ON s.id = v.id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(rank, 6) AS rank FROM r{iters}"
+    )
+
+
 PPR_SOURCES = [0, 1, 2]
 
 
@@ -937,6 +1003,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank_5iter_csr": q_graph_pagerank_5iter_csr,
     "graph_pagerank_5iter_sem": q_graph_pagerank_5iter_sem,
     "graph_ppr_5iter": q_graph_ppr_5iter,
+    "graph_wpagerank_5iter": q_graph_wpagerank_5iter,
     "graph_wcc": q_graph_wcc,
     "graph_wcc_star": q_graph_wcc_star,
     "graph_hits_5iter": q_graph_hits_5iter,
@@ -994,6 +1061,7 @@ ORACLE_SQL: dict[str, str] = {
     "graph_pagerank_5iter_csr": _pagerank_sql(5),
     "graph_pagerank_5iter_sem": _pagerank_sql(5),
     "graph_ppr_5iter": _ppr_sql(5, PPR_SOURCES),
+    "graph_wpagerank_5iter": _wpagerank_sql(5),
     "graph_wcc": _WCC_SQL,
     "graph_wcc_star": _WCC_SQL,
     "graph_hits_5iter": _hits_sql(5),

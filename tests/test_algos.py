@@ -110,6 +110,34 @@ def test_wcc_exact(spark, wiki_edges_df, wiki_vertices_df):
     assert (got == want).all()
 
 
+def test_weighted_pagerank_matches_numpy(spark, wiki_edges_df, wiki_vertices_df, wiki_edges):
+    """Weighted PageRank (w(u,v)/W(u) gather) == inline numpy reference;
+    deterministic synthetic weights w = 1 + (src + dst) % 3."""
+    from pyspark.sql import functions as F
+
+    iters = 6
+    we = wiki_edges_df.withColumn(
+        "w", (F.lit(1) + (F.col("src_id") + F.col("dst_id")) % 3).cast("double")
+    )
+    res = pagerank(
+        spark, we, vertices=wiki_vertices_df, max_iters=iters, eps=0.0, weight_col="w"
+    )
+    got = _vec(res.state.select("id", "rank"), "rank")
+
+    n = WIKI_VOTE_N
+    w = np.zeros((n, n))
+    for s, d in wiki_edges:
+        w[s, d] = 1.0 + (s + d) % 3
+    out_w = w.sum(axis=1)
+    r = np.full(n, 0.15)
+    unit = np.zeros(n)
+    for _ in range(iters):
+        np.divide(r, out_w, out=unit, where=out_w > 0)
+        unit[out_w == 0] = 0.0
+        r = 0.15 + 0.85 * (w.T @ unit)
+    np.testing.assert_allclose(got, r, rtol=0, atol=1e-9)
+
+
 def test_wcc_star_equals_frontier(spark, wiki_edges_df, wiki_vertices_df):
     """The large-star/small-star contraction kernel must produce exactly
     the frontier kernel's components — and in far fewer rounds than the
