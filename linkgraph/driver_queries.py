@@ -435,6 +435,83 @@ FROM verts v LEFT JOIN per_vertex p ON p.id = v.id
 """
 
 
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient c(v) = 2·tri(v)/(deg(v)·
+    (deg(v)-1)) on the undirected simple graph — composes the triangle
+    program with symmetrized degrees."""
+    e = lineitem_edges(spark, sf_dir)
+    tri = triangle_counts(spark, e)
+    deg = symmetrize(e).groupBy(F.col("src_id").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    return tri.join(deg, "id", "left").select(
+        "id",
+        "tri",
+        F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
+        F.round(
+            F.when(
+                F.col("deg") >= 2,
+                2.0 * F.col("tri") / (F.col("deg") * (F.col("deg") - 1)),
+            ).otherwise(0.0),
+            6,
+        ).alias("cc"),
+    )
+
+
+_CC_SQL = f"""
+WITH {_EDGES_SQL.strip()}, {_VERTS_SQL.strip()}, {_SYM_SQL.strip()},
+und AS (
+    SELECT DISTINCT LEAST(src_id, dst_id) AS a, GREATEST(src_id, dst_id) AS b
+    FROM edges WHERE src_id <> dst_id
+),
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM und e1
+    JOIN und e2 ON e2.a = e1.b
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+per_vertex AS (
+    SELECT id, COUNT(*) AS tri FROM (
+        SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+    ) GROUP BY id
+),
+degs AS (SELECT src_id AS id, COUNT(*) AS deg FROM sym GROUP BY src_id)
+SELECT v.id,
+       COALESCE(p.tri, 0) AS tri,
+       COALESCE(d.deg, 0) AS deg,
+       ROUND(CASE WHEN COALESCE(d.deg, 0) >= 2
+                  THEN 2.0 * COALESCE(p.tri, 0) / (d.deg * (d.deg - 1))
+                  ELSE 0.0 END, 6) AS cc
+FROM verts v
+LEFT JOIN per_vertex p ON p.id = v.id
+LEFT JOIN degs d ON d.id = v.id
+"""
+
+
+def q_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned out-degree histogram (power-law diagnostic). The bucket
+    is computed integer-exactly as len(bin(deg)) - 1 on both engines — no
+    float log2 boundary risk."""
+    e = lineitem_edges(spark, sf_dir)
+    out_deg = e.groupBy("src_id").agg(F.count(F.lit(1)).alias("out_deg"))
+    return (
+        out_deg.select(
+            (F.length(F.bin("out_deg")) - 1).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
+_DEG_HIST_SQL = f"""
+WITH {_EDGES_SQL.strip()},
+od AS (SELECT src_id, COUNT(*) AS out_deg FROM edges GROUP BY src_id)
+SELECT CAST(LENGTH(BIN(out_deg)) - 1 AS BIGINT) AS bucket,
+       COUNT(*) AS n_vertices
+FROM od GROUP BY 1
+"""
+
+
 def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed BFS hop distances from the smallest vertex id (A10/BFS);
     unreached vertices report dist = -1."""
@@ -1010,6 +1087,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_lp_1round": q_graph_lp_1round,
     "graph_lp_3round": q_graph_lp_3round,
     "graph_triangles": q_graph_triangles,
+    "graph_clustering_coeff": q_graph_clustering_coeff,
+    "graph_degree_histogram": q_graph_degree_histogram,
     "graph_bfs": q_graph_bfs,
     "graph_kcore": q_graph_kcore,
     "graph_top10_pagerank": q_graph_top10_pagerank,
@@ -1068,6 +1147,8 @@ ORACLE_SQL: dict[str, str] = {
     "graph_lp_1round": _LP1_SQL,
     "graph_lp_3round": _lp_sql(LP_ORACLE_ROUNDS),
     "graph_triangles": _TRI_SQL,
+    "graph_clustering_coeff": _CC_SQL,
+    "graph_degree_histogram": _DEG_HIST_SQL,
     "graph_bfs": _BFS_SQL,
     "graph_kcore": _KCORE_SQL,
     "graph_top10_pagerank": _TOP10_SQL,
