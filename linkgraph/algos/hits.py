@@ -39,10 +39,12 @@ def _l1_normalized(state: DataFrame) -> DataFrame:
     norms = state.agg(
         F.sum("hub").alias("__nh"), F.sum("auth").alias("__na")
     )
+    # nullif guards the edgeless-graph corner (all scores gathered to 0):
+    # a zero norm yields 0-scores, not NaN propagation
     return state.crossJoin(F.broadcast(norms)).select(
         "id",
-        (F.col("hub") / F.col("__nh")).alias("hub_n"),
-        (F.col("auth") / F.col("__na")).alias("auth_n"),
+        F.coalesce(F.col("hub") / F.nullif("__nh", F.lit(0.0)), F.lit(0.0)).alias("hub_n"),
+        F.coalesce(F.col("auth") / F.nullif("__na", F.lit(0.0)), F.lit(0.0)).alias("auth_n"),
     )
 
 
@@ -110,10 +112,11 @@ def hits(
 
 
 def normalized_scores(state: DataFrame) -> DataFrame:
-    """Final presentation: (id, hub, auth) L1-normalized."""
+    """Final presentation: (id, hub, auth) L1-normalized (0, not NaN, on an
+    edgeless graph)."""
     norms = state.agg(F.sum("hub").alias("__nh"), F.sum("auth").alias("__na"))
     return state.crossJoin(F.broadcast(norms)).select(
         "id",
-        (F.col("hub") / F.col("__nh")).alias("hub"),
-        (F.col("auth") / F.col("__na")).alias("auth"),
+        F.coalesce(F.col("hub") / F.nullif("__nh", F.lit(0.0)), F.lit(0.0)).alias("hub"),
+        F.coalesce(F.col("auth") / F.nullif("__na", F.lit(0.0)), F.lit(0.0)).alias("auth"),
     )

@@ -210,6 +210,20 @@ def test_hits_matches_numpy_power_iteration(spark, wiki_edges_df, wiki_vertices_
     np.testing.assert_allclose(out["auth"].to_numpy(), auth, atol=1e-9)
 
 
+def test_hits_edgeless_graph_yields_zero_scores(spark):
+    """On a graph with vertices but no edges, scores gather to 0 and the
+    L1 normalization must yield 0 (guarded), never NaN."""
+    from linkgraph.algos import hits
+    from linkgraph.algos.hits import normalized_scores
+    from linkgraph.synth import edges_df
+
+    empty = edges_df(spark, np.empty((0, 2), dtype=np.int64))
+    res = hits(spark, empty, vertices=spark.range(5).selectExpr("id"), iters=3)
+    out = normalized_scores(res.state).toPandas()
+    assert len(out) == 5
+    assert (out["hub"] == 0.0).all() and (out["auth"] == 0.0).all()
+
+
 def test_lp_exact(spark, wiki_edges_df, wiki_vertices_df):
     res = label_propagation(spark, wiki_edges_df, vertices=wiki_vertices_df)
     got = _vec(res.state.select("id", "label"), "label")
