@@ -537,6 +537,57 @@ FROM verts v
 LEFT JOIN (SELECT id, MIN(dist) AS dist FROM walk GROUP BY id) m ON m.id = v.id
 """
 
+def q_graph_diameter_2sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sweep BFS diameter lower bound on the undirected graph: BFS from
+    the min vertex id, re-root at the farthest reached vertex (ties -> min
+    id), BFS again; the second eccentricity lower-bounds the diameter —
+    the standard cheap estimate for web-graph effective diameter."""
+    from linkgraph.algos.bfs import bfs
+
+    e = lineitem_edges(spark, sf_dir)
+    sym = symmetrize(e)
+    src0 = vertex_ids_from_edges(e).agg(F.min("id")).first()[0]
+    first = bfs(spark, sym, sources=[src0])
+    far = (
+        first.state.filter(F.col("dist") >= 0)
+        .orderBy(F.desc("dist"), F.asc("id"))
+        .first()
+    )
+    second = bfs(spark, sym, sources=[int(far["id"])])
+    return second.state.filter(F.col("dist") >= 0).agg(
+        F.lit(int(src0)).cast("long").alias("sweep1_src"),
+        F.lit(int(far["id"])).cast("long").alias("sweep2_src"),
+        F.max("dist").cast("long").alias("diameter_lb"),
+    )
+
+
+_DIAM_SQL = f"""
+WITH RECURSIVE {_EDGES_SQL.strip()}, {_VERTS_SQL.strip()}, {_SYM_SQL.strip()},
+walk1(id, dist) AS (
+    SELECT (SELECT MIN(id) FROM verts), 0
+    UNION
+    SELECT e.dst_id, w.dist + 1
+    FROM walk1 w JOIN sym e ON e.src_id = w.id
+    WHERE w.dist < {N_GRAPH}
+),
+d1 AS MATERIALIZED (SELECT id, MIN(dist) AS dist FROM walk1 GROUP BY id),
+far AS MATERIALIZED (
+    SELECT id FROM d1 ORDER BY dist DESC, id ASC LIMIT 1
+),
+walk2(id, dist) AS (
+    SELECT (SELECT id FROM far), 0
+    UNION
+    SELECT e.dst_id, w.dist + 1
+    FROM walk2 w JOIN sym e ON e.src_id = w.id
+    WHERE w.dist < {N_GRAPH}
+)
+SELECT (SELECT MIN(id) FROM verts) AS sweep1_src,
+       (SELECT id FROM far) AS sweep2_src,
+       MAX(dist) AS diameter_lb
+FROM (SELECT id, MIN(dist) AS dist FROM walk2 GROUP BY id)
+"""
+
+
 KCORE_K = 3
 KCORE_ROUNDS = 10  # both engines run the same fixed synchronous peel rounds
 
@@ -1090,6 +1141,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_clustering_coeff": q_graph_clustering_coeff,
     "graph_degree_histogram": q_graph_degree_histogram,
     "graph_bfs": q_graph_bfs,
+    "graph_diameter_2sweep": q_graph_diameter_2sweep,
     "graph_kcore": q_graph_kcore,
     "graph_top10_pagerank": q_graph_top10_pagerank,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
@@ -1150,6 +1202,7 @@ ORACLE_SQL: dict[str, str] = {
     "graph_clustering_coeff": _CC_SQL,
     "graph_degree_histogram": _DEG_HIST_SQL,
     "graph_bfs": _BFS_SQL,
+    "graph_diameter_2sweep": _DIAM_SQL,
     "graph_kcore": _KCORE_SQL,
     "graph_top10_pagerank": _TOP10_SQL,
     "lineitem_pricing_summary": _PRICING_SQL,
