@@ -109,6 +109,11 @@ def main() -> None:
     res = timed("wcc_fixpoint", lambda: wcc(spark, edges))
     extras["wcc_iterations"] = res.iterations
 
+    from linkgraph.algos import wcc_star
+
+    res = timed("wcc_star_fixpoint", lambda: wcc_star(spark, edges))
+    extras["wcc_star_rounds"] = res.iterations
+
     timed("lp_3iter", lambda: label_propagation(spark, edges, iters=3))
 
     tri_edges = gen_bench_edges(spark, 200_000, 1_000_000).persist()
