@@ -537,6 +537,65 @@ FROM verts v
 LEFT JOIN (SELECT id, MIN(dist) AS dist FROM walk GROUP BY id) m ON m.id = v.id
 """
 
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity: fraction of directed edges whose reverse edge also
+    exists (mutual-link rate of the web graph). Computed with a self
+    semi-join on the swapped key — no collect, one scalar row."""
+    e = lineitem_edges(spark, sf_dir)
+    rev = e.select(
+        F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
+    )
+    mutual = e.join(rev, ["src_id", "dst_id"], "left_semi")
+    return e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        mutual.agg(F.count(F.lit(1)).alias("n_mutual"))
+    ).select(
+        "n_edges",
+        "n_mutual",
+        F.round(F.col("n_mutual") / F.col("n_edges"), 6).alias("reciprocity"),
+    )
+
+
+_RECIP_SQL = f"""
+WITH {_EDGES_SQL.strip()},
+m AS (
+    SELECT COUNT(*) AS n_mutual FROM edges e
+    WHERE EXISTS (
+        SELECT 1 FROM edges r
+        WHERE r.src_id = e.dst_id AND r.dst_id = e.src_id
+    )
+)
+SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+       m.n_mutual,
+       ROUND(m.n_mutual / (SELECT COUNT(*) FROM edges), 6) AS reciprocity
+FROM m
+"""
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity: Pearson correlation of (out-degree(src),
+    in-degree(dst)) over directed edges — do hubs link to hubs? One
+    scalar row via F.corr (no collect)."""
+    e = lineitem_edges(spark, sf_dir)
+    out_deg = e.groupBy(F.col("src_id")).agg(F.count(F.lit(1)).alias("sdeg"))
+    in_deg = e.groupBy(F.col("dst_id")).agg(F.count(F.lit(1)).alias("ddeg"))
+    return (
+        e.join(out_deg, "src_id")
+        .join(in_deg, "dst_id")
+        .agg(F.round(F.corr("sdeg", "ddeg"), 6).alias("assortativity"))
+    )
+
+
+_ASSORT_SQL = f"""
+WITH {_EDGES_SQL.strip()},
+od AS (SELECT src_id, COUNT(*) AS sdeg FROM edges GROUP BY src_id),
+idg AS (SELECT dst_id, COUNT(*) AS ddeg FROM edges GROUP BY dst_id)
+SELECT ROUND(CORR(o.sdeg, i.ddeg), 6) AS assortativity
+FROM edges e
+JOIN od o ON o.src_id = e.src_id
+JOIN idg i ON i.dst_id = e.dst_id
+"""
+
+
 def q_graph_diameter_2sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sweep BFS diameter lower bound on the undirected graph: BFS from
     the min vertex id, re-root at the farthest reached vertex (ties -> min
@@ -1142,6 +1201,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_degree_histogram": q_graph_degree_histogram,
     "graph_bfs": q_graph_bfs,
     "graph_diameter_2sweep": q_graph_diameter_2sweep,
+    "graph_reciprocity": q_graph_reciprocity,
+    "graph_assortativity": q_graph_assortativity,
     "graph_kcore": q_graph_kcore,
     "graph_top10_pagerank": q_graph_top10_pagerank,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
@@ -1203,6 +1264,8 @@ ORACLE_SQL: dict[str, str] = {
     "graph_degree_histogram": _DEG_HIST_SQL,
     "graph_bfs": _BFS_SQL,
     "graph_diameter_2sweep": _DIAM_SQL,
+    "graph_reciprocity": _RECIP_SQL,
+    "graph_assortativity": _ASSORT_SQL,
     "graph_kcore": _KCORE_SQL,
     "graph_top10_pagerank": _TOP10_SQL,
     "lineitem_pricing_summary": _PRICING_SQL,
