@@ -647,6 +647,57 @@ FROM (SELECT id, MIN(dist) AS dist FROM walk2 GROUP BY id)
 """
 
 
+TRUSS_ROUNDS = 6  # both engines run the same fixed synchronous peel rounds
+
+
+def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss edge set after TRUSS_ROUNDS synchronous peel rounds
+    (A10/k-truss). Peeling is idempotent once converged, so a fixed round
+    count is exact-matchable (same trick as the k-core oracle)."""
+    from linkgraph.algos.truss import TRUSS_K, truss
+
+    e = lineitem_edges(spark, sf_dir)
+    res = truss(spark, e, k=TRUSS_K, fixed_rounds=TRUSS_ROUNDS)
+    return res.state.select("a", "b")
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    min_sup = k - 2
+    ctes = [
+        _EDGES_SQL,
+        """t0 AS MATERIALIZED (
+    SELECT DISTINCT LEAST(src_id, dst_id) AS a, GREATEST(src_id, dst_id) AS b
+    FROM edges WHERE src_id <> dst_id
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""tri{r} AS MATERIALIZED (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM t{p} e1
+    JOIN t{p} e2 ON e2.a = e1.b
+    JOIN t{p} e3 ON e3.a = e1.a AND e3.b = e2.b
+)"""
+        )
+        ctes.append(
+            f"""sup{r} AS MATERIALIZED (
+    SELECT a, b, COUNT(*) AS sup FROM (
+        SELECT x AS a, y AS b FROM tri{r}
+        UNION ALL SELECT y AS a, z AS b FROM tri{r}
+        UNION ALL SELECT x AS a, z AS b FROM tri{r}
+    ) GROUP BY a, b
+)"""
+        )
+        ctes.append(
+            f"""t{r} AS MATERIALIZED (
+    SELECT u.a, u.b FROM t{p} u
+    JOIN sup{r} s ON s.a = u.a AND s.b = u.b AND s.sup >= {min_sup}
+)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT a, b FROM t{rounds}"
+
+
 KCORE_K = 3
 KCORE_ROUNDS = 10  # both engines run the same fixed synchronous peel rounds
 
@@ -1204,6 +1255,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_reciprocity": q_graph_reciprocity,
     "graph_assortativity": q_graph_assortativity,
     "graph_kcore": q_graph_kcore,
+    "graph_ktruss": q_graph_ktruss,
     "graph_top10_pagerank": q_graph_top10_pagerank,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "join_filter": q_join_filter,
@@ -1267,6 +1319,7 @@ ORACLE_SQL: dict[str, str] = {
     "graph_reciprocity": _RECIP_SQL,
     "graph_assortativity": _ASSORT_SQL,
     "graph_kcore": _KCORE_SQL,
+    "graph_ktruss": _ktruss_sql(4, TRUSS_ROUNDS),
     "graph_top10_pagerank": _TOP10_SQL,
     "lineitem_pricing_summary": _PRICING_SQL,
     "join_filter": _JOIN_FILTER_SQL,

@@ -210,6 +210,21 @@ def test_hits_matches_numpy_power_iteration(spark, wiki_edges_df, wiki_vertices_
     np.testing.assert_allclose(out["auth"].to_numpy(), auth, atol=1e-9)
 
 
+def test_ktruss_matches_networkx(spark, wiki_edges_df, wiki_edges):
+    """Fixpoint 4-truss edge set == networkx k_truss on the wiki fixture."""
+    import networkx as nx
+    from linkgraph.algos.truss import truss
+
+    res = truss(spark, wiki_edges_df, k=4)
+    got = {(r["a"], r["b"]) for r in res.state.collect()}
+
+    g = nx.Graph()
+    g.add_edges_from(wiki_edges.tolist())
+    want = {(min(u, v), max(u, v)) for u, v in nx.k_truss(g, 4).edges}
+    assert got == want
+    assert len(got) > 0  # fixture has a nontrivial 4-truss
+
+
 def test_hits_edgeless_graph_yields_zero_scores(spark):
     """On a graph with vertices but no edges, scores gather to 0 and the
     L1 normalization must yield 0 (guarded), never NaN."""
