@@ -38,15 +38,42 @@ def _canonical_undirected(edges: DataFrame) -> DataFrame:
 
 def _edge_support(und: DataFrame) -> DataFrame:
     """(a, b, support): triangles through each edge of the canonical
-    undirected edge list, via the oriented wedge join (x<y<z)."""
-    e_xy = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e_yz = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e_xz = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = e_xy.join(e_yz, "y").join(e_xz, ["x", "z"])
+    undirected edge list.
+
+    Wedges are generated at the LOW-DEGREE endpoint of each edge
+    (degree-ordered orientation, same hub-safety argument as
+    algos/triangles.py): a hub of degree d contributes wedges only for its
+    few higher-degree neighbors, never d^2 — an id-ordered wedge join
+    would go quadratic at a high-id hub on a web graph. Orientation is a
+    counting heuristic only; the support values are orientation-invariant,
+    so the DuckDB oracle's plain x<y<z join matches exactly."""
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    key = deg.select("id", (F.col("deg") * F.lit(1 << 31) + F.col("id")).alias("key"))
+    ka = key.select(F.col("id").alias("a"), F.col("key").alias("key_a"))
+    kb = key.select(F.col("id").alias("b"), F.col("key").alias("key_b"))
+    oriented = (
+        und.join(ka, "a")
+        .join(kb, "b")
+        .select(
+            F.when(F.col("key_a") < F.col("key_b"), F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(F.col("key_a") < F.col("key_b"), F.col("b")).otherwise(F.col("a")).alias("hi"),
+            F.greatest("key_a", "key_b").alias("key_hi"),
+        )
+    )
+    e1 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"), F.col("key_hi").alias("kv"))
+    e2 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("w"), F.col("key_hi").alias("kw"))
+    wedges = e1.join(e2, "u").filter(F.col("kv") < F.col("kw")).select("u", "v", "w")
+    closer = oriented.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
+    tri = wedges.join(closer, ["v", "w"])
     sides = (
-        tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
-        .unionAll(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
-        .unionAll(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+        tri.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .unionAll(tri.select(F.least("u", "w").alias("a"), F.greatest("u", "w").alias("b")))
+        .unionAll(tri.select(F.least("v", "w").alias("a"), F.greatest("v", "w").alias("b")))
     )
     return sides.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
 
