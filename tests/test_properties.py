@@ -132,3 +132,62 @@ def test_spark_engine_matches_oracle_random(spark, n, m, seed):
     tc = triangle_counts(spark, e, vertices=verts)
     got = tc.toPandas().sort_values("id")["tri"].to_numpy()
     assert (got == oracle.triangle_counts(arr, n)).all()
+
+
+# ---- star-contraction formulation (pure-Python mirror of algos/wcc.py's
+# DataFrame ops) — hypothesis-checked against the oracle so the algorithm
+# itself stays provably correct independent of the Spark plumbing
+
+
+def _py_large_star(E):
+    nb: dict[int, set] = {}
+    for a, b in E:
+        nb.setdefault(a, set()).add(b)
+        nb.setdefault(b, set()).add(a)
+    out = set()
+    for u, N in nb.items():
+        m = min(N | {u})
+        for v in N:
+            if v > u and v != m:
+                out.add((v, m))
+    return out
+
+
+def _py_small_star(E):
+    nb: dict[int, set] = {}
+    for a, b in E:
+        nb.setdefault(a, set()).add(b)
+        nb.setdefault(b, set()).add(a)
+    out = set()
+    for u, N in nb.items():
+        Nm = {v for v in N if v < u}
+        if not Nm:
+            continue
+        m = min(Nm)
+        for v in Nm:
+            if v != m:
+                out.add((v, m))
+        if u != m:
+            out.add((u, m))
+    return out
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(digraphs())
+def test_star_contraction_formulation_matches_oracle_wcc(g):
+    n, edges = g
+    E = {(int(a), int(b)) for a, b in edges if a != b}
+    prev = None
+    for _ in range(100):
+        E = _py_small_star(_py_large_star(E))
+        if E == prev:
+            break
+        prev = set(E)
+    else:  # pragma: no cover
+        raise AssertionError("star contraction did not converge")
+    comp = {v: v for v in range(n)}
+    for v, r in E:
+        comp[v] = r
+    want = oracle.wcc(edges, n)
+    for v in range(n):
+        assert comp[v] == want[v]
