@@ -125,6 +125,12 @@ def test_spark_engine_matches_oracle_random(spark, n, m, seed):
     got = cw.state.select("id", "comp").toPandas().sort_values("id")["comp"].to_numpy()
     assert (got == oracle.wcc(arr, n)).all()
 
+    from linkgraph.algos import wcc_star
+
+    cs = wcc_star(spark, e, vertices=verts)
+    got = cs.state.select("id", "comp").toPandas().sort_values("id")["comp"].to_numpy()
+    assert (got == oracle.wcc(arr, n)).all()
+
     lp = label_propagation(spark, e, vertices=verts, iters=5)
     got = lp.state.select("id", "label").toPandas().sort_values("id")["label"].to_numpy()
     assert (got == oracle.label_propagation(arr, n, iters=5)).all()
