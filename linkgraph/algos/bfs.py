@@ -81,8 +81,10 @@ def bfs(
             )
         )
 
-    result = engine.run(
-        state0, step, max_iters=max_iters, should_stop=_should_stop, resume=resume
-    )
-    e.unpersist()
-    return result
+    try:
+        return engine.run(
+            state0, step, max_iters=max_iters, should_stop=_should_stop, resume=resume
+        )
+    finally:
+        # unconditional: an exception mid-run must not leak the O(E) cache
+        e.unpersist()

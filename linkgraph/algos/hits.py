@@ -105,10 +105,12 @@ def hits(
             )
         )
 
-    result = engine.run(state0, step, max_iters=iters, should_stop=None, resume=resume)
-    fwd.unpersist()
-    rev.unpersist()
-    return result
+    try:
+        return engine.run(state0, step, max_iters=iters, should_stop=None, resume=resume)
+    finally:
+        # unconditional: an exception mid-run must not leak the O(E) caches
+        fwd.unpersist()
+        rev.unpersist()
 
 
 def normalized_scores(state: DataFrame) -> DataFrame:

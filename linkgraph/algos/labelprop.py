@@ -24,6 +24,18 @@ from linkgraph.conventions import LP_ITERS
 from linkgraph.engine import RunResult, SuperstepEngine
 
 
+def _telemetry_fn(new_state: DataFrame, iteration: int) -> tuple[bool, dict]:
+    """Never stops (fixed iterations are the pinned convention); emits the
+    per-round changed-label count into engine metrics. Synchronous LP's
+    known failure mode is 2-cycle oscillation — a changed count that stops
+    shrinking (or alternates between two values) is the signature, and at
+    crawl scale this is the only practical way to see it."""
+    changed = new_state.agg(
+        F.sum(F.col("changed").cast("long")).alias("c")
+    ).first()["c"]
+    return False, {"changed_labels": int(changed or 0)}
+
+
 def label_propagation(
     spark: SparkSession,
     edges: DataFrame,
@@ -32,15 +44,22 @@ def label_propagation(
     engine: SuperstepEngine | None = None,
     resume: bool = False,
     partitions: int | None = None,
+    telemetry: bool = True,
 ) -> RunResult:
-    """Run LP for a fixed number of supersteps; result state = (id, label)."""
+    """Run LP for a fixed number of supersteps; result state =
+    (id, label, changed).
+
+    ``telemetry`` (default on) logs the changed-label count per round into
+    the engine metrics (one O(V) scalar action over the already-
+    materialized state per superstep — the gather itself is untouched).
+    """
     engine = engine or SuperstepEngine(spark)
     partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     # loop-invariant; pre-partitioned + pre-sorted on the gather key so
     # per-superstep joins reuse the layout with no Sort (build.gather_layout)
     sym = gather_layout(symmetrize(edges), partitions)
     ids = vertices.select("id") if vertices is not None else vertex_ids_from_edges(edges)
-    state0 = ids.select("id", F.col("id").alias("label"))
+    state0 = ids.select("id", F.col("id").alias("label"), F.lit(False).alias("changed"))
 
     def step(state: DataFrame, iteration: int) -> DataFrame:
         nb_labels = sym.join(
@@ -57,9 +76,21 @@ def label_propagation(
             .select(
                 state["id"],
                 F.coalesce(F.col("new_label"), state["label"]).alias("label"),
+                (
+                    F.col("new_label").isNotNull()
+                    & (F.col("new_label") != state["label"])
+                ).alias("changed"),
             )
         )
 
-    result = engine.run(state0, step, max_iters=iters, should_stop=None, resume=resume)
-    sym.unpersist()
-    return result
+    try:
+        return engine.run(
+            state0,
+            step,
+            max_iters=iters,
+            should_stop=_telemetry_fn if telemetry else None,
+            resume=resume,
+        )
+    finally:
+        # unconditional: an exception mid-run must not leak the O(E) cache
+        sym.unpersist()

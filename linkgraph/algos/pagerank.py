@@ -163,10 +163,20 @@ def pagerank(
         # Arrow transfer of the edge block every superstep; the semi-external
         # kernel computes the identical gather/scatter with the edge blocks on
         # storage and only O(V_p) state crossing Arrow, and beats it at every
-        # measured scale. "csr" therefore routes to "sem"; the raw cogroup
-        # kernel stays available as "csr_cogroup" for equivalence testing.
+        # measured scale. "csr" therefore routes to "sem" — but ONLY where the
+        # sem layout is guaranteed reachable by every worker: a local master
+        # (workers share the driver's filesystem) or an explicit caller-
+        # provided layout_dir (assumed shared storage). On a cluster with no
+        # layout_dir, the pre-reroute behavior is kept: the cogroup kernel
+        # runs anywhere via shuffle alone, so csr callers are never broken by
+        # an implicit kernel swap that would FileNotFoundError worker-side.
+        # The raw cogroup kernel stays addressable as "csr_cogroup" for
+        # equivalence testing.
         if kernel == "csr":
-            kernel = "sem"
+            if spark.sparkContext.master.startswith("local") or layout_dir is not None:
+                kernel = "sem"
+            else:
+                kernel = "csr_cogroup"
         if kernel == "sql":
             if salted:
                 # hybrid salting: only keys above hub_threshold are salted —

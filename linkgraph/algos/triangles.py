@@ -42,16 +42,17 @@ def triangle_counts(
     """Per-vertex triangle counts; returns DataFrame(id, tri)."""
     und = _canonical_undirected(edges).persist()
 
-    # undirected degree, then a total order key (deg, id) packed into one
-    # long (deg < 2^31 and id < 2^31 at any realistic scale per partition of
-    # the id space; ordering by the packed key == ordering by (deg, id))
+    # undirected degree, then the total order key (deg, id) as a STRUCT —
+    # Spark orders structs lexicographically, so comparisons are exact for
+    # the full 64-bit id range (a packed deg*2^31+id long collides and can
+    # overflow on web-scale ids, silently corrupting the orientation)
     deg = (
         und.select(F.col("a").alias("id"))
         .unionByName(und.select(F.col("b").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    key = deg.select("id", (F.col("deg") * F.lit(1 << 31) + F.col("id")).alias("key"))
+    key = deg.select("id", F.struct(F.col("deg").alias("d"), F.col("id").alias("i")).alias("key"))
 
     ka = key.select(F.col("id").alias("a"), F.col("key").alias("key_a"))
     kb = key.select(F.col("id").alias("b"), F.col("key").alias("key_b"))

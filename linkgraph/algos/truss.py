@@ -53,7 +53,9 @@ def _edge_support(und: DataFrame) -> DataFrame:
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    key = deg.select("id", (F.col("deg") * F.lit(1 << 31) + F.col("id")).alias("key"))
+    # (deg, id) as a STRUCT (lexicographic order) — exact for 64-bit ids,
+    # unlike a packed deg*2^31+id long (same fix as algos/triangles.py)
+    key = deg.select("id", F.struct(F.col("deg").alias("d"), F.col("id").alias("i")).alias("key"))
     ka = key.select(F.col("id").alias("a"), F.col("key").alias("key_a"))
     kb = key.select(F.col("id").alias("b"), F.col("key").alias("key_b"))
     oriented = (

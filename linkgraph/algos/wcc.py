@@ -65,11 +65,13 @@ def wcc(
             )
         )
 
-    result = engine.run(
-        state0, step, max_iters=max_iters, should_stop=_should_stop, resume=resume
-    )
-    sym.unpersist()
-    return result
+    try:
+        return engine.run(
+            state0, step, max_iters=max_iters, should_stop=_should_stop, resume=resume
+        )
+    finally:
+        # unconditional: an exception mid-run must not leak the O(E) cache
+        sym.unpersist()
 
 
 # ------------------------------------------------------- star-contraction WCC
@@ -144,6 +146,7 @@ def wcc_star(
         return _small_star(_large_star(e))
 
     prev: dict[str, tuple] = {}
+    converged = {"ok": False}
 
     def should_stop(e: DataFrame, iteration: int) -> tuple[bool, dict]:
         row = e.agg(
@@ -155,9 +158,21 @@ def wcc_star(
         sig = (row["edges"], row["checksum"])
         stop = prev.get("sig") == sig
         prev["sig"] = sig
+        if stop:
+            converged["ok"] = True
         return stop, {"edges": row["edges"]}
 
     result = engine.run(e0, step, max_iters=max_iters, should_stop=should_stop, resume=resume)
+    if not converged["ok"]:
+        # Before the contraction fixpoint the edge list is NOT a star
+        # forest: a vertex can still be the src of several edges, and the
+        # ids-left-join below would silently emit duplicate id rows with
+        # conflicting comp values. Refuse to project a wrong answer.
+        raise RuntimeError(
+            f"wcc_star did not reach the contraction fixpoint within "
+            f"max_iters={max_iters}; raise max_iters (the state is "
+            f"checkpoint-resumable) instead of consuming a partial result"
+        )
     stars = result.state  # (src_id=member, dst_id=root)
     comp = (
         ids.join(stars, ids["id"] == stars["src_id"], "left")

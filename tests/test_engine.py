@@ -50,14 +50,20 @@ def test_wcc_star_resume_matches_uninterrupted(spark, wiki_edges_df, wiki_vertic
     component assignment."""
     from linkgraph.algos import wcc_star
 
+    import pytest
+
     full = wcc_star(spark, wiki_edges_df, vertices=wiki_vertices_df)
 
     ckpt = str(tmp_path / "ckpt_star")
     eng = SuperstepEngine(spark, ckpt_dir=ckpt, checkpoint_every=2)
-    partial = wcc_star(
-        spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=2, engine=eng
-    )
-    assert partial.iterations == 2
+    # the truncated run checkpoints it=2 and then REFUSES to project a
+    # component assignment from the still-contracting edge list (a
+    # non-star-forest state would emit conflicting duplicate rows) — the
+    # raise IS the interruption being simulated here
+    with pytest.raises(RuntimeError, match="contraction fixpoint"):
+        wcc_star(
+            spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=2, engine=eng
+        )
     eng2 = SuperstepEngine(spark, ckpt_dir=ckpt, checkpoint_every=2)
     resumed = wcc_star(
         spark, wiki_edges_df, vertices=wiki_vertices_df, engine=eng2, resume=True
