@@ -6,6 +6,7 @@ from linkgraph.algos.hits import hits
 from linkgraph.algos.kcore import kcore
 from linkgraph.algos.labelprop import label_propagation
 from linkgraph.algos.pagerank import pagerank
+from linkgraph.algos.scc import scc
 from linkgraph.algos.triangles import triangle_counts
 from linkgraph.algos.wcc import wcc, wcc_star
 
@@ -18,4 +19,5 @@ __all__ = [
     "bfs",
     "kcore",
     "hits",
+    "scc",
 ]

@@ -1,0 +1,233 @@
+"""Strongly connected components (SURVEY.md §2.1 A10).
+
+The reference's program family lists SCC among the upstream vertex programs
+(`UPSTREAM flash-graph/libgraph-algs/` — SURVEY.md §2.1 A10; the FlashGraph
+paper benchmarks SCC on the twitter/page graphs). Semantics pinned here:
+``comp(v)`` = the minimum vertex id in v's strongly connected component
+(mutual-reachability equivalence class) on the directed simple graph.
+Exact-match acceptance; oracle = recursive-CTE mutual reachability.
+
+Algorithm: the **coloring / forward-backward** method (Orzan's distributed
+SCC, the standard formulation for BSP engines) with trimming:
+
+repeat until every vertex is assigned:
+  1. TRIM — iteratively assign every vertex whose in-degree or out-degree
+     within the unassigned subgraph is 0 to its own singleton SCC (such a
+     vertex can't be mutually reachable with anything). Collapses the
+     forest-like fringe of a web graph (the majority of its vertices) for
+     the cost of a degree aggregation per round.
+  2. COLOR — forward min-propagation to fixpoint: ``color(v)`` = min
+     unassigned id that reaches v. Roots are vertices with
+     ``color(v) == v``. Same superstep shape as WCC, directed.
+  3. BACKWARD — from every root simultaneously, propagate a mark through
+     REVERSED edges restricted to vertices of the same color. Marked
+     vertices are mutually reachable with their root (root reaches them
+     forward by the color, they reach the root by the mark):
+     ``comp = color``. Assign and remove; unassigned vertices go back to 1.
+
+Every phase is frontier-restricted (changed/newly-marked vertices only
+message — FlashGraph's ``activate_vertices``), every fixpoint runs on the
+loop-invariant ``build.gather_layout`` edge caches, and the per-vertex
+assignment accumulates through ``localCheckpoint`` so driver-side lineage
+stays bounded across phases. Worst case (a long path that survives
+trimming... it can't — paths trim away; a long CYCLE resolves in one
+color+backward sweep) is a chain of cycles: one outer phase per cycle
+"layer", the known bound of FW-BW-style methods; real web graphs finish in
+a handful of phases (one giant SCC + trimmable fringe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linkgraph.build import gather_layout, vertex_ids_from_edges
+from linkgraph.engine import RunResult, SuperstepEngine
+
+
+def _changed_stop(new_state: DataFrame, iteration: int) -> tuple[bool, dict]:
+    changed = new_state.agg(
+        F.sum(F.col("changed").cast("long")).alias("c")
+    ).first()["c"]
+    return (changed == 0), {"changed": int(changed or 0)}
+
+
+def scc(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_phases: int = 100,
+    max_iters: int = 10_000,
+    partitions: int | None = None,
+) -> RunResult:
+    """Run SCC to completion; result state = (id, comp).
+
+    ``max_phases`` bounds outer color+backward phases, ``max_iters`` each
+    inner fixpoint. Raises if either bound is hit before every vertex is
+    assigned (a partial SCC labeling is not a weaker answer — it is wrong).
+    Checkpoint-resume is not wired for the multi-phase loop (the four
+    north-rule programs carry it); each inner fixpoint still truncates
+    lineage via the engine's localCheckpoint.
+    """
+    engine = SuperstepEngine(spark)
+    partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e0 = (
+        edges.select("src_id", "dst_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+    )
+    fwd = gather_layout(e0, partitions)  # keyed on src_id (forward gather)
+    rev = gather_layout(
+        e0.select(F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")),
+        partitions,
+    )
+    ids = vertices.select("id") if vertices is not None else vertex_ids_from_edges(edges)
+
+    assigned = spark.createDataFrame([], "id long, comp long")
+    remaining = ids.localCheckpoint(eager=True)
+    total_iters = 0
+    metrics: list[dict] = []
+
+    try:
+        for phase in range(1, max_phases + 1):
+            if remaining.isEmpty():
+                break
+
+            # ---- 1. TRIM singleton SCCs (in-deg 0 or out-deg 0) ----------
+            while True:
+                rem_src = remaining.select(F.col("id").alias("src_id"))
+                rem_dst = remaining.select(F.col("id").alias("dst_id"))
+                live = (
+                    fwd.join(rem_src, "src_id", "left_semi")
+                    .join(rem_dst, "dst_id", "left_semi")
+                )
+                has_out = live.select(F.col("src_id").alias("id")).distinct()
+                has_in = live.select(F.col("dst_id").alias("id")).distinct()
+                keep = has_out.join(has_in, "id", "left_semi")
+                trivial = remaining.join(keep, "id", "left_anti")
+                n_trivial = trivial.count()
+                metrics.append({"phase": phase, "stage": "trim", "assigned": n_trivial})
+                if n_trivial == 0:
+                    break
+                assigned = assigned.unionByName(
+                    trivial.select("id", F.col("id").alias("comp"))
+                ).localCheckpoint(eager=True)
+                remaining = remaining.join(trivial, "id", "left_anti").localCheckpoint(
+                    eager=True
+                )
+            if remaining.isEmpty():
+                break
+
+            # live edge set of this phase (both endpoints unassigned and
+            # non-trivial); phase-invariant across the two fixpoints below
+            rem_src = remaining.select(F.col("id").alias("src_id"))
+            rem_dst = remaining.select(F.col("id").alias("dst_id"))
+            live_fwd = (
+                fwd.join(rem_src, "src_id", "left_semi")
+                .join(rem_dst, "dst_id", "left_semi")
+                .persist()
+            )
+            live_rev = (
+                rev.join(rem_dst.withColumnRenamed("dst_id", "src_id"), "src_id", "left_semi")
+                .join(rem_src.withColumnRenamed("src_id", "dst_id"), "dst_id", "left_semi")
+                .persist()
+            )
+            try:
+                # ---- 2. COLOR: forward min-propagation to fixpoint -------
+                color0 = remaining.select(
+                    "id", F.col("id").alias("color"), F.lit(True).alias("changed")
+                )
+
+                def color_step(state: DataFrame, iteration: int) -> DataFrame:
+                    frontier = state.filter(F.col("changed")).select(
+                        F.col("id").alias("src_id"), F.col("color").alias("src_color")
+                    )
+                    msgs = (
+                        live_fwd.join(frontier, "src_id")
+                        .groupBy("dst_id")
+                        .agg(F.min("src_color").alias("cand"))
+                    )
+                    return (
+                        state.join(msgs, state["id"] == msgs["dst_id"], "left")
+                        .select(
+                            state["id"],
+                            F.least(
+                                state["color"],
+                                F.coalesce(F.col("cand"), state["color"]),
+                            ).alias("color"),
+                            (
+                                F.coalesce(F.col("cand"), state["color"])
+                                < state["color"]
+                            ).alias("changed"),
+                        )
+                    )
+
+                colored = engine.run(
+                    color0, color_step, max_iters=max_iters, should_stop=_changed_stop
+                )
+                total_iters += colored.iterations
+
+                # ---- 3. BACKWARD within color classes --------------------
+                mark0 = colored.state.select(
+                    "id",
+                    "color",
+                    (F.col("color") == F.col("id")).alias("mark"),
+                    (F.col("color") == F.col("id")).alias("changed"),
+                )
+
+                def back_step(state: DataFrame, iteration: int) -> DataFrame:
+                    frontier = state.filter(F.col("changed")).select(
+                        F.col("id").alias("src_id"), F.col("color").alias("fcolor")
+                    )
+                    msgs = (
+                        live_rev.join(frontier, "src_id")
+                        .groupBy("dst_id")
+                        .agg(F.min("fcolor").alias("mcolor"))
+                    )
+                    # a vertex is newly marked only by a mark of ITS OWN
+                    # color; min is a safe combiner because distinct colors
+                    # never mark the same vertex (color classes partition
+                    # the subgraph and marks stay inside their class)
+                    newly = (
+                        ~F.col("mark")
+                        & F.col("mcolor").isNotNull()
+                        & (F.col("mcolor") == F.col("color"))
+                    )
+                    return (
+                        state.join(msgs, state["id"] == msgs["dst_id"], "left")
+                        .select(
+                            state["id"],
+                            state["color"],
+                            (F.col("mark") | newly).alias("mark"),
+                            newly.alias("changed"),
+                        )
+                    )
+
+                marked = engine.run(
+                    mark0, back_step, max_iters=max_iters, should_stop=_changed_stop
+                )
+                total_iters += marked.iterations
+
+                done = marked.state.filter(F.col("mark")).select(
+                    "id", F.col("color").alias("comp")
+                )
+                n_done = done.count()
+                metrics.append({"phase": phase, "stage": "backward", "assigned": n_done})
+                if n_done == 0:  # defensive: roots always mark themselves
+                    raise RuntimeError("scc: backward sweep assigned nothing")
+                assigned = assigned.unionByName(done).localCheckpoint(eager=True)
+                remaining = remaining.join(done, "id", "left_anti").localCheckpoint(
+                    eager=True
+                )
+            finally:
+                live_fwd.unpersist()
+                live_rev.unpersist()
+
+        if not remaining.isEmpty():
+            raise RuntimeError(
+                f"scc did not assign every vertex within max_phases={max_phases}"
+            )
+        return RunResult(state=assigned, iterations=total_iters, metrics=metrics)
+    finally:
+        fwd.unpersist()
+        rev.unpersist()

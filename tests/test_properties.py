@@ -197,3 +197,33 @@ def test_star_contraction_formulation_matches_oracle_wcc(g):
     want = oracle.wcc(edges, n)
     for v in range(n):
         assert comp[v] == want[v]
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_spark_scc_matches_networkx_random(spark, seed):
+    """SCC (coloring/forward-backward with trimming) labels every vertex
+    with the min id of its mutual-reachability class — checked against
+    networkx strongly_connected_components on seeded random digraphs."""
+    import random
+
+    from linkgraph.algos import scc
+
+    if not HAS_NX:
+        pytest.skip("networkx missing")
+    rng = random.Random(seed)
+    n = 40
+    edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(90)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src_id long, dst_id long")
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    res = scc(spark, df, vertices=verts)
+    got = {r["id"]: r["comp"] for r in res.state.collect()}
+    G = nx.DiGraph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from(edges)
+    want = {}
+    for comp in nx.strongly_connected_components(G):
+        m = min(comp)
+        for v in comp:
+            want[v] = m
+    assert got == want
