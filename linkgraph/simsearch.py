@@ -101,35 +101,90 @@ FROM embeddings GROUP BY label ORDER BY label
 
 
 EMB_NEAR_DUP_COS = 0.4  # near-dup threshold for the exact pair query
+# Above this corpus size the exact all-pairs crossJoin is a scale-killer
+# (O(n^2) pairs); embedding_near_dup_pairs then routes through banded
+# SimHash LSH + exact in-bucket rescore instead.
+EMB_EXACT_MAX_ROWS = 100_000
+EMB_LSH_BANDS = 4
 
 
-def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine >= EMB_NEAR_DUP_COS,
-    a < b) — the dedup-family exact baseline over the embedding column.
-
-    Norms are computed ONCE per vector (normalized embeddings), not per
-    pair; the pair step is then a single zip_with dot product. This exact
-    self-join is the small-corpus baseline: the crawl-scale path buckets
-    by SimHash signature first (q_knn_lsh's construction) and rescoring
-    runs only inside buckets.
-    """
-    emb = _emb(spark, sf_dir)
-    normed = emb.select(
+def _normalized(emb: DataFrame) -> DataFrame:
+    """(vec_id, u): unit-normalized embeddings — norms computed ONCE per
+    vector, so every downstream pair score is a single zip_with dot."""
+    return emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double") / _norm(F.col("embedding"))).alias("u"),
     )
-    a = normed.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"))
-    b = normed.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(_dot(F.col("ua"), F.col("ub")), 3).alias("cosine"),
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = EMB_NEAR_DUP_COS,
+    max_exact_rows: int = EMB_EXACT_MAX_ROWS,
+    bands: int = EMB_LSH_BANDS,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= threshold, a < b).
+
+    Corpus-size-gated execution (one count action to decide):
+
+    - ``n <= max_exact_rows``: exact all-pairs self-join — complete recall,
+      the small-corpus baseline the oracle checks.
+    - larger: **banded random-hyperplane SimHash** candidates + exact
+      in-bucket rescore. ``bands`` independent SIMHASH_BITS-bit signatures
+      (disjoint hyperplane sets); docs agreeing on ANY band become
+      candidates, then the exact cosine filter keeps only true near-dups.
+      Precision is exact; recall is probabilistic (pairs can disagree on
+      every band) — the standard LSH trade at 10^12-doc scale, where the
+      all-pairs join is not an option. No crossJoin anywhere on this path.
+    """
+    normed = _normalized(emb)
+    if emb.count() <= max_exact_rows:
+        a = normed.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"))
+        b = normed.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"))
+        pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    else:
+        sigs = normed.select(
+            "vec_id",
+            "u",
+            *[
+                simhash_signature(
+                    F.col("u"), plane_offset=band * SIMHASH_BITS
+                ).alias(f"sig{band}")
+                for band in range(bands)
+            ],
         )
-        .filter(F.col("cosine") >= EMB_NEAR_DUP_COS)
-    )
+        band_rows = None
+        for band in range(bands):
+            one = sigs.select(
+                "vec_id", "u", F.lit(band).alias("band"), F.col(f"sig{band}").alias("sig")
+            )
+            band_rows = one if band_rows is None else band_rows.unionByName(one)
+        a = band_rows.select(
+            F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"), "band", "sig"
+        )
+        b = band_rows.select(
+            F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"), "band", "sig"
+        )
+        pairs = (
+            a.join(b, ["band", "sig"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .dropDuplicates(["vec_a", "vec_b"])
+        )
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        F.round(_dot(F.col("ua"), F.col("ub")), 3).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the dedup-family operator
+    over the embedding column. At oracle scale the corpus is far under
+    ``EMB_EXACT_MAX_ROWS``, so the exact path runs and the DuckDB oracle
+    match is complete-recall exact; past the bound the same entry point
+    switches to banded LSH + exact rescore (see embedding_near_dup_pairs).
+    """
+    return embedding_near_dup_pairs(_emb(spark, sf_dir))
 
 
 EMB_NEAR_DUP_SQL = f"""
@@ -267,9 +322,12 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash_signature(emb_col, bits: int = SIMHASH_BITS):
-    """Random-hyperplane SimHash: bit b = sign(<v, h_b>) where hyperplane
-    h_b[i] = ±1 from xxhash64(b, i) parity — deterministic, no fitted state."""
+def simhash_signature(emb_col, bits: int = SIMHASH_BITS, plane_offset: int = 0):
+    """Random-hyperplane SimHash: bit b = sign(<v, h_{o+b}>) where
+    hyperplane h_j[i] = ±1 from xxhash64(j, i) parity — deterministic, no
+    fitted state. ``plane_offset`` selects a disjoint hyperplane set so
+    multiple INDEPENDENT band signatures can be drawn from the same family
+    (offset 0 reproduces the original single-band signature)."""
     def bit(b: int):
         signed = F.aggregate(
             F.zip_with(
@@ -277,7 +335,8 @@ def simhash_signature(emb_col, bits: int = SIMHASH_BITS):
                 F.transform(
                     F.sequence(F.lit(0), F.size(emb_col) - 1),
                     lambda i: F.when(
-                        F.pmod(F.xxhash64(F.lit(b), i), F.lit(2)) == 0, F.lit(1.0)
+                        F.pmod(F.xxhash64(F.lit(plane_offset + b), i), F.lit(2)) == 0,
+                        F.lit(1.0),
                     ).otherwise(F.lit(-1.0)),
                 ),
                 lambda x, h: x.cast("double") * h,
@@ -318,3 +377,17 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rn")
     )
+
+
+def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both ANN variants (SimHash-bucket LSH and IVF probing) as one tagged
+    result — same columns as the brute-force query plus ``method``.
+    Rows-only by design: ANN recall < 1; the test suite pins a recall floor
+    for each method against knn_bruteforce."""
+    lsh = q_knn_lsh(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "cosine", "rn"
+    )
+    ivf = q_knn_ivf(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cosine", "rn"
+    )
+    return lsh.unionByName(ivf)

@@ -194,3 +194,29 @@ def test_lang_id_mostly_right_on_en(spark):
         acc = (en["predicted_lang"] == "en").mean()
         top = got["predicted_lang"].value_counts()
         assert acc >= 0.5 or top.index[0] == "en"
+
+
+def test_embedding_near_dup_scale_guard(spark):
+    """Past EMB_EXACT_MAX_ROWS the near-dup operator must NOT plan the
+    all-pairs cross join: forcing the bound to 0 routes through banded
+    SimHash LSH + exact rescore. Precision stays exact (bucketed ⊆ exact
+    with identical cosines) and identical vectors — the pairs dedup
+    actually hunts — always collide on every band, so they are never lost."""
+    from linkgraph.simsearch import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = embedding_near_dup_pairs(emb)  # small corpus -> exact path
+    bucketed = embedding_near_dup_pairs(emb, max_exact_rows=0)
+
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    e = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in exact.collect()}
+    b = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in bucketed.collect()}
+    assert set(b) <= set(e), "bucketed path produced a pair the exact path lacks"
+    assert all(e[k] == b[k] for k in b), "in-bucket rescore must be exact"
+    # cosine == 1.0 pairs (identical direction) agree on every hyperplane
+    # sign, hence share all bands — guaranteed recall for true duplicates
+    dup_pairs = {k for k, v in e.items() if v >= 0.999}
+    assert dup_pairs <= set(b)
