@@ -583,3 +583,100 @@ SELECT doc_id,
                                           t -> substr(md5(t), 1, 8)), '')) AS rolling_fp
 FROM documents
 """
+
+
+# ------------------------------------------------- merged per-doc scans
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both fingerprint flavors in ONE scan of documents: the bag
+    fingerprint (md5 of normalized text — order of identical content
+    collapses) and the order-sensitive rolling fingerprint (md5 over the
+    running concatenation of per-token md5 prefixes, distinguishing
+    permuted documents). One linear pass; same semantics as the individual
+    q_doc_fingerprint / q_doc_rolling_fingerprint operators."""
+    d = _docs(spark, sf_dir)
+    norm = _norm_text(F.col("text"))
+    rolled = F.md5(
+        F.array_join(
+            F.transform(F.split(norm, " "), lambda t: F.substring(F.md5(t), 1, 8)), ""
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        rolled.alias("rolling_fp"),
+    )
+
+
+DOC_FINGERPRINTS_SQL = f"""
+SELECT doc_id,
+       md5({_NORM_SQL}) AS fingerprint,
+       md5(array_to_string(list_transform(string_split({_NORM_SQL}, ' '),
+                                          t -> substr(md5(t), 1, 8)), '')) AS rolling_fp
+FROM documents
+"""
+
+
+def q_doc_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (C11), quality scoring (C10) and language ID (C9) in
+    ONE scan of documents — the per-doc metrics a training-data pipeline
+    computes together in practice (each is an independent column family on
+    the same pass; semantics identical to the individual q_doc_token_count
+    / q_doc_quality / q_doc_lang_id operators)."""
+    d = _docs(spark, sf_dir)
+    norm = _norm_text(F.col("text"))
+    lowered = F.lower(F.col("text"))
+    chars = F.length(F.col("text"))
+    tokens = F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " ")))
+    punct = chars - F.length(F.regexp_replace(F.col("text"), r"[.,!?;:]", ""))
+    lang_pairs = F.array(
+        *[
+            F.struct(
+                (
+                    -F.size(
+                        F.regexp_extract_all(lowered, F.lit(_LANG_PATTERNS[lang]), F.lit(0))
+                    )
+                ).alias("neg"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in _LANG_ORDER
+        ]
+    )
+    return d.select(
+        "doc_id",
+        chars.cast("long").alias("chars"),
+        tokens.cast("long").alias("tokens"),
+        F.size(F.regexp_extract_all(norm, F.lit(BPEISH_TOKEN_RE), F.lit(0)))
+        .cast("long")
+        .alias("bpeish_tokens"),
+        F.round(punct / F.greatest(chars, F.lit(1)), 5).alias("punct_ratio"),
+        F.round(
+            (F.length(F.regexp_replace(norm, " ", ""))) / F.greatest(tokens, F.lit(1)),
+            4,
+        ).alias("mean_token_len"),
+        F.array_min(lang_pairs)["lang"].alias("predicted_lang"),
+        F.col("lang").alias("actual_lang"),
+    )
+
+
+def _doc_text_metrics_sql() -> str:
+    toks = f"CASE WHEN {_NORM_SQL} = '' THEN 0 ELSE len(string_split({_NORM_SQL}, ' ')) END"
+    structs = ", ".join(
+        f"{{'neg': -len(regexp_extract_all(lower(text), '{_LANG_PATTERNS[lang]}')), 'lang': '{lang}'}}"
+        for lang in _LANG_ORDER
+    )
+    return f"""
+SELECT doc_id,
+       length(text) AS chars,
+       {toks} AS tokens,
+       len(regexp_extract_all({_NORM_SQL}, '{BPEISH_TOKEN_RE}')) AS bpeish_tokens,
+       ROUND((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+             / GREATEST(length(text), 1), 5) AS punct_ratio,
+       ROUND(length(replace({_NORM_SQL}, ' ', '')) / GREATEST({toks}, 1), 4) AS mean_token_len,
+       list_sort([{structs}])[1].lang AS predicted_lang,
+       lang AS actual_lang
+FROM documents
+"""
+
+
+DOC_TEXT_METRICS_SQL = _doc_text_metrics_sql()
