@@ -19,7 +19,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--edges", required=True, help="parquet path or catalog table")
+    ap.add_argument(
+        "--edges",
+        required=True,
+        help="parquet path, or a bucketed edge-image table as table:NAME "
+        "(build.load_edge_image — skips the cold-start edge shuffle)",
+    )
     ap.add_argument("--vertices", default=None)
     ap.add_argument("--out", required=True)
     ap.add_argument("--ckpt", default=None)
@@ -38,7 +43,12 @@ def main() -> None:
     from linkgraph.session import get_spark
 
     spark = get_spark(app_name="linkgraph-pagerank")
-    edges = spark.read.parquet(args.edges)
+    if args.edges.startswith("table:"):
+        from linkgraph.build import load_edge_image
+
+        edges = load_edge_image(spark, args.edges[len("table:"):])
+    else:
+        edges = spark.read.parquet(args.edges)
     vertices = spark.read.parquet(args.vertices) if args.vertices else None
     engine = SuperstepEngine(spark, ckpt_dir=args.ckpt) if args.ckpt else None
 

@@ -140,7 +140,13 @@ def pagerank(
     Supported on the sql kernel.
     """
     engine = engine or SuperstepEngine(spark)
-    partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # a bucketed edge image (build.load_edge_image) carries its own
+    # partitioning — adopt it so gather_layout skips the cold-start shuffle
+    partitions = (
+        partitions
+        or getattr(edges, "_lg_bucket_count", None)
+        or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
     if weight_col is not None and kernel not in ("sql",):
         raise ValueError("weight_col is supported on the sql kernel")
     # Loop-invariant edge table: hash-partition by the gather key ONCE,

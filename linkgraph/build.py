@@ -148,6 +148,53 @@ def build_graph(
     return Graph(vertices=vertices.persist(), edges=edges)
 
 
+def write_edge_image(
+    edges: DataFrame, path: str, table: str, buckets: int
+) -> None:
+    """Persist the edge table as a **bucketed graph image**: parquet
+    bucketed AND sorted by the gather key, registered as an external table.
+
+    This is the durable analogue of ``gather_layout`` — the on-disk form
+    FlashGraph's ``el2fg`` image plays (FAST'15 §3.1): partitioning is
+    baked into storage, so a COLD job's first gather join needs no initial
+    O(E) repartition of the edges (the one remaining cold-start shuffle of
+    the range-partitioned layout). ``bucketBy`` uses the same Murmur3 hash
+    as ``repartition(n, col)``, so the bucketed scan's reported
+    HashPartitioning(src_id, buckets) satisfies the gather join's
+    distribution directly.
+
+    The pre-``repartition`` on the bucket key makes each task hold exactly
+    one bucket → ONE file per bucket, which is what lets Spark also report
+    the ``sortBy`` ordering at scan time (multi-file buckets forfeit it).
+    """
+    (
+        edges.select("src_id", "dst_id")
+        .repartition(buckets, "src_id")
+        .write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(buckets, "src_id")
+        .sortBy("src_id", "dst_id")
+        .saveAsTable(table)
+    )
+
+
+def load_edge_image(spark, table: str) -> DataFrame:
+    """Read a ``write_edge_image`` table, tagging the DataFrame with its
+    bucket count so ``gather_layout`` (and kernels that adopt the image's
+    partitioning) can skip the redundant repartition+sort. The tag rides
+    the Python object only — any further transformation drops it and the
+    normal (re-layout) path engages, which is always correct."""
+    df = spark.table(table)
+    n_buckets = None
+    for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if r["col_name"].strip() == "Num Buckets":
+            n_buckets = int(r["data_type"])
+            break
+    df._lg_bucket_count = n_buckets
+    return df
+
+
 def gather_layout(
     edges: DataFrame,
     partitions: int,
@@ -167,7 +214,15 @@ def gather_layout(
 
     Caller owns the returned cache (``.unpersist()`` when the loop ends).
     ``cols`` extends the cached projection (e.g. an edge-weight column).
+
+    If ``edges`` came straight from ``load_edge_image`` with a bucket
+    count equal to ``partitions``, the scan already IS hash-partitioned
+    and sorted on the gather key — the repartition+sort is skipped and the
+    cache builds directly over the bucketed scan (zero cold-start edge
+    shuffle).
     """
+    if getattr(edges, "_lg_bucket_count", None) == partitions:
+        return edges.select(*cols).persist()
     return (
         edges.select(*cols)
         .repartition(partitions, "src_id")

@@ -157,3 +157,68 @@ def test_broadcast_join_planned_for_small_dim(spark):
         "c_custkey", "n_name"
     )
     assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_bucketed_edge_image_cold_gather_no_exchange(spark, wiki_edges_df, tmp_path):
+    """The durable bucketed edge image (build.write_edge_image) must make a
+    COLD job's first gather join shuffle-free on the edge side: the
+    bucketed+sorted scan already satisfies the join's distribution and
+    ordering, so between the join and the file scan there is neither an
+    Exchange nor a Sort — the cold-start analogue of the in-loop
+    gather_layout guarantee (and the true FlashGraph-image behavior: the
+    on-disk graph is pre-partitioned; only vertex state moves)."""
+    import numpy as np
+
+    from linkgraph.build import gather_layout, load_edge_image, write_edge_image
+
+    table = "t_edge_image_plan"
+    try:
+        write_edge_image(wiki_edges_df, str(tmp_path / "img"), table, 8)
+        e = load_edge_image(spark, table)
+        assert e._lg_bucket_count == 8
+        layout = gather_layout(e, 8)
+        state = (
+            spark.range(200)
+            .repartition(8, "id")
+            .sortWithinPartitions("id")
+            .select("id", F.lit(0.15).alias("rank"), F.lit(2).alias("out_deg"))
+            .localCheckpoint(eager=True)
+        )
+        contribs = state.select(
+            F.col("id").alias("src_id"),
+            (F.col("rank") / F.col("out_deg")).alias("contrib"),
+        )
+        aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        smj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+        try:
+            msgs = layout.join(contribs, "src_id").groupBy("dst_id").agg(
+                F.sum("contrib").alias("s")
+            )
+            plan = _plan(msgs)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+            spark.conf.set("spark.sql.join.preferSortMergeJoin", smj)
+        lines = plan.splitlines()
+        join_idx = next(i for i, l in enumerate(lines) if "Join" in l)
+        scan_idx = next(
+            i for i, l in enumerate(lines) if "Scan parquet" in l or "FileScan" in l
+        )
+        assert join_idx < scan_idx, plan
+        between = "\n".join(lines[join_idx + 1 : scan_idx])
+        # no Exchange AND no Sort anywhere between the join and the file
+        # scan: the on-disk bucketing replaces the cold-start shuffle
+        assert "Exchange" not in between, plan
+        assert "Sort" not in between, plan
+        # the image is a layout change only — PageRank results are identical
+        from linkgraph.algos import pagerank
+
+        r_img = pagerank(spark, load_edge_image(spark, table), max_iters=3, eps=0.0)
+        r_raw = pagerank(spark, wiki_edges_df, max_iters=3, eps=0.0, partitions=8)
+        a = r_img.state.select("id", "rank").toPandas().sort_values("id")["rank"].to_numpy()
+        b = r_raw.state.select("id", "rank").toPandas().sort_values("id")["rank"].to_numpy()
+        assert np.allclose(a, b, rtol=0, atol=1e-12)
+        layout.unpersist()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
