@@ -438,7 +438,11 @@ FROM verts v LEFT JOIN per_vertex p ON p.id = v.id
 def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex local clustering coefficient c(v) = 2·tri(v)/(deg(v)·
     (deg(v)-1)) on the undirected simple graph — composes the triangle
-    program with symmetrized degrees."""
+    program with symmetrized degrees — plus the **local scan statistic**
+    scan1(v) = |E(N[v])| = deg(v) + tri(v) (every edge between two
+    neighbors of v closes a triangle through v), the reference's
+    scan-statistic anomaly primitive (SURVEY §2.1 A10 "local scan
+    statistics / topK scan") riding the same per-vertex pass."""
     e = lineitem_edges(spark, sf_dir)
     tri = triangle_counts(spark, e)
     deg = symmetrize(e).groupBy(F.col("src_id").alias("id")).agg(
@@ -455,6 +459,7 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0.0),
             6,
         ).alias("cc"),
+        (F.coalesce("deg", F.lit(0)) + F.col("tri")).cast("long").alias("scan_stat"),
     )
 
 
@@ -481,7 +486,8 @@ SELECT v.id,
        COALESCE(d.deg, 0) AS deg,
        ROUND(CASE WHEN COALESCE(d.deg, 0) >= 2
                   THEN 2.0 * COALESCE(p.tri, 0) / (d.deg * (d.deg - 1))
-                  ELSE 0.0 END, 6) AS cc
+                  ELSE 0.0 END, 6) AS cc,
+       COALESCE(d.deg, 0) + COALESCE(p.tri, 0) AS scan_stat
 FROM verts v
 LEFT JOIN per_vertex p ON p.id = v.id
 LEFT JOIN degs d ON d.id = v.id
