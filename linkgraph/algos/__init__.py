@@ -1,6 +1,7 @@
 """The four FlashGraph vertex programs as Spark DataFrame programs
 (SURVEY.md §2.1 A1–A4)."""
 
+from linkgraph.algos.betweenness import betweenness
 from linkgraph.algos.bfs import bfs
 from linkgraph.algos.hits import hits
 from linkgraph.algos.kcore import kcore
@@ -20,4 +21,5 @@ __all__ = [
     "kcore",
     "hits",
     "scc",
+    "betweenness",
 ]

@@ -244,6 +244,12 @@ def test_lp_exact(spark, wiki_edges_df, wiki_vertices_df):
     got = _vec(res.state.select("id", "label"), "label")
     want = golden("labels").sort_values("id")["label"].to_numpy()
     assert (got == want).all()
+    # convergence telemetry: every round logs its changed-label count
+    # (sync-LP oscillation is invisible at scale without it), and round 1
+    # must change at least one label on any non-trivial graph
+    assert len(res.metrics) == res.iterations
+    assert all("changed_labels" in m for m in res.metrics)
+    assert res.metrics[0]["changed_labels"] > 0
 
 
 def test_triangles_exact(spark, wiki_edges_df, wiki_vertices_df):

@@ -227,3 +227,30 @@ def test_spark_scc_matches_networkx_random(spark, seed):
         for v in comp:
             want[v] = m
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [5, 13])
+def test_spark_betweenness_exact_matches_networkx(spark, seed):
+    """With pivots = ALL vertices the batched Brandes run is exact: compare
+    unnormalized directed betweenness against networkx on seeded random
+    digraphs (float64 dependency sums — 1e-9 tolerance)."""
+    import random
+
+    from linkgraph.algos import betweenness
+
+    if not HAS_NX:
+        pytest.skip("networkx missing")
+    rng = random.Random(seed)
+    n = 25
+    edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(70)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src_id long, dst_id long")
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    res = betweenness(spark, df, pivots=range(n), vertices=verts)
+    got = {r["id"]: r["bc"] for r in res.state.collect()}
+    G = nx.DiGraph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from(edges)
+    want = nx.betweenness_centrality(G, normalized=False)
+    for v in range(n):
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
