@@ -618,17 +618,61 @@ FROM documents
 
 
 def q_doc_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (C11), quality scoring (C10) and language ID (C9) in
-    ONE scan of documents — the per-doc metrics a training-data pipeline
-    computes together in practice (each is an independent column family on
-    the same pass; semantics identical to the individual q_doc_token_count
-    / q_doc_quality / q_doc_lang_id operators)."""
+    """Token counting (C11), quality scoring (C10), language ID (C9) and
+    Gopher-style repetition signals in ONE scan of documents — the per-doc
+    metrics a training-data pipeline computes together in practice (each
+    is an independent column family on the same pass; semantics identical
+    to the individual q_doc_token_count / q_doc_quality / q_doc_lang_id
+    operators).
+
+    Repetition columns (the standard pretraining quality filters, Gopher
+    §A1.1 family): ``dup_word_frac`` = 1 - |distinct tokens|/|tokens|,
+    and ``top_bigram_frac`` = occurrences of the most frequent word
+    bigram / total bigrams. Both are per-row array expressions —
+    JVM-side, no shuffle; the top-bigram count is O(k^2) in the per-doc
+    DISTINCT bigram count, bounded by document length, never corpus
+    size."""
     d = _docs(spark, sf_dir)
     norm = _norm_text(F.col("text"))
     lowered = F.lower(F.col("text"))
     chars = F.length(F.col("text"))
-    tokens = F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " ")))
+    toks = F.split(norm, " ")
+    tokens = F.when(norm == "", F.lit(0)).otherwise(F.size(toks))
     punct = chars - F.length(F.regexp_replace(F.col("text"), r"[.,!?;:]", ""))
+    bigrams = F.when(
+        tokens >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - F.lit(2)),
+            lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # most-frequent-bigram count in O(k log k): sort the bigram array and
+    # take the longest run of equal neighbors (a distinct×scan formulation
+    # is O(k^2) per doc — noticeable on crawl-length documents; the DuckDB
+    # oracle keeps the quadratic spelling, same result). The "" initial
+    # accumulator can never equal a real bigram (tokens are non-empty).
+    sorted_bg = F.array_sort(bigrams)
+    run_best = F.aggregate(
+        sorted_bg,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_bigram = F.when(
+        F.size(bigrams) > 0, run_best / F.size(bigrams)
+    ).otherwise(F.lit(0.0))
+    dup_words = F.when(
+        tokens > 0, 1.0 - F.size(F.array_distinct(toks)) / tokens
+    ).otherwise(F.lit(0.0))
     lang_pairs = F.array(
         *[
             F.struct(
@@ -654,6 +698,8 @@ def q_doc_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length(F.regexp_replace(norm, " ", ""))) / F.greatest(tokens, F.lit(1)),
             4,
         ).alias("mean_token_len"),
+        F.round(dup_words, 4).alias("dup_word_frac"),
+        F.round(top_bigram, 4).alias("top_bigram_frac"),
         F.array_min(lang_pairs)["lang"].alias("predicted_lang"),
         F.col("lang").alias("actual_lang"),
     )
@@ -666,16 +712,38 @@ def _doc_text_metrics_sql() -> str:
         for lang in _LANG_ORDER
     )
     return f"""
+WITH base AS (
+    SELECT doc_id, text, lang,
+           string_split({_NORM_SQL}, ' ') AS words,
+           {toks} AS tokens
+    FROM documents
+),
+bg AS (
+    SELECT *,
+           CASE WHEN tokens >= 2 THEN
+               list_transform(range(len(words) - 1),
+                              i -> array_to_string(words[i + 1 : i + 2], ' '))
+           ELSE [] END AS bigrams
+    FROM base
+)
 SELECT doc_id,
        length(text) AS chars,
-       {toks} AS tokens,
+       tokens,
        len(regexp_extract_all({_NORM_SQL}, '{BPEISH_TOKEN_RE}')) AS bpeish_tokens,
        ROUND((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
              / GREATEST(length(text), 1), 5) AS punct_ratio,
-       ROUND(length(replace({_NORM_SQL}, ' ', '')) / GREATEST({toks}, 1), 4) AS mean_token_len,
+       ROUND(length(replace({_NORM_SQL}, ' ', '')) / GREATEST(tokens, 1), 4) AS mean_token_len,
+       ROUND(CASE WHEN tokens > 0
+                  THEN 1.0 - len(list_distinct(words)) / tokens
+                  ELSE 0.0 END, 4) AS dup_word_frac,
+       ROUND(CASE WHEN len(bigrams) > 0
+                  THEN list_max(list_transform(list_distinct(bigrams),
+                                               x -> len(list_filter(bigrams, b -> b = x))))
+                       / len(bigrams)
+                  ELSE 0.0 END, 4) AS top_bigram_frac,
        list_sort([{structs}])[1].lang AS predicted_lang,
        lang AS actual_lang
-FROM documents
+FROM bg
 """
 
 
