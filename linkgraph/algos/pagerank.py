@@ -121,6 +121,7 @@ def pagerank(
     engine: SuperstepEngine | None = None,
     resume: bool = False,
     layout_dir: str | None = None,
+    reuse_layout: bool = False,
     personalized: list[int] | None = None,
     weight_col: str | None = None,
 ) -> RunResult:
@@ -138,6 +139,13 @@ def pagerank(
     on a web graph); the gather becomes r(v) = (1-d) + d·Σ w(u,v)/W(u)·r(u)
     with W(u) the total outgoing weight. Dangling (W=0) contribute nothing.
     Supported on the sql kernel.
+
+    reuse_layout (sem kernel): if ``layout_dir`` already holds a sem edge
+    image, skip rewriting it — the FlashGraph pattern of building the
+    graph image once (el2fg) and running many algorithms against it.
+    ONLY valid when edges, ``partitions`` and ``hub_threshold`` are
+    identical to the run that wrote the layout (routing is a pure
+    function of those three; a mismatch silently mis-routes state).
     """
     engine = engine or SuperstepEngine(spark)
     # a bucketed edge image (build.load_edge_image) carries its own
@@ -213,7 +221,8 @@ def pagerank(
                     stacklevel=2,
                 )
             step = _make_sem_step(
-                spark, edges, damping, partitions, hub_threshold, layout_dir, personalized
+                spark, edges, damping, partitions, hub_threshold, layout_dir,
+                personalized, reuse_layout=reuse_layout,
             )
         else:
             raise ValueError(f"unknown kernel {kernel!r}")
@@ -520,20 +529,30 @@ def _make_sem_step(
     hub_threshold: int,
     layout_dir: str,
     personalized: list[int] | None = None,
+    reuse_layout: bool = False,
 ):
     edges_parts, hubs, n_hubs = _routed_edges(edges, partitions, hub_threshold)
     # the graph "image": written once, hive-partitioned by block id — on a
     # cluster this lives on shared storage and each executor pulls only the
     # blocks it serves (then caches them in its Python workers). Routing
     # the shuffle by part first gives each write task a single open parquet
-    # writer regardless of how many blocks there are.
-    (
-        edges_parts.repartition(partitions, "part")
-        .sortWithinPartitions("part", "src_id", "dst_id")
-        .write.mode("overwrite")
-        .partitionBy("part")
-        .parquet(layout_dir)
+    # writer regardless of how many blocks there are. With reuse_layout a
+    # pre-existing image is consumed as-is (el2fg-style build-once), valid
+    # only for the identical (edges, partitions, hub_threshold) that wrote
+    # it — routing is a pure function of those three.
+    import os as _os
+
+    have_layout = reuse_layout and _os.path.isdir(layout_dir) and any(
+        name.startswith("part=") for name in _os.listdir(layout_dir)
     )
+    if not have_layout:
+        (
+            edges_parts.repartition(partitions, "part")
+            .sortWithinPartitions("part", "src_id", "dst_id")
+            .write.mode("overwrite")
+            .partitionBy("part")
+            .parquet(layout_dir)
+        )
     # layout-time manifest: which blocks actually hold edges (≤ `partitions`
     # rows — bounded driver-side metadata, like engine lineage)
     edge_parts = frozenset(

@@ -348,3 +348,33 @@ def _vec_n(df, col, n):
     pdf = df.toPandas().sort_values("id")
     assert pdf.id.tolist() == list(range(n))
     return pdf[col].to_numpy()
+
+
+def test_sem_layout_reuse_skips_rewrite(spark, wiki_edges_df, wiki_vertices_df, tmp_path):
+    """reuse_layout consumes a pre-built sem edge image without rewriting
+    it (the el2fg build-once pattern): identical ranks, untouched files."""
+    import os
+
+    import numpy as np
+
+    layout = str(tmp_path / "sem_image")
+    first = pagerank(
+        spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=3, eps=0.0,
+        kernel="sem", partitions=8, layout_dir=layout,
+    )
+    files = {}
+    for root, _, names in os.walk(layout):
+        for n in names:
+            p = os.path.join(root, n)
+            files[p] = os.path.getmtime(p)
+    assert files, "sem layout was not written"
+
+    second = pagerank(
+        spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=3, eps=0.0,
+        kernel="sem", partitions=8, layout_dir=layout, reuse_layout=True,
+    )
+    for p, mtime in files.items():
+        assert os.path.getmtime(p) == mtime, f"layout file rewritten: {p}"
+    a = first.state.select("id", "rank").toPandas().sort_values("id")["rank"].to_numpy()
+    b = second.state.select("id", "rank").toPandas().sort_values("id")["rank"].to_numpy()
+    assert np.allclose(a, b, rtol=0, atol=1e-12)
