@@ -4,8 +4,10 @@
         --algo wcc --edges /data/edges --out /data/comps [--ckpt /data/ckpt]
 
 Algorithms: wcc, wcc_star, lp, triangles, bfs (--sources), kcore (--k),
-hits (--iters), truss (--k). PageRank has its own richer entry point
-(jobs/run_pagerank.py). Build linkgraph.zip with: python tools/package.py
+hits (--iters), truss (--k), scc, betweenness (--sources = pivot sample).
+PageRank has its own richer entry point (jobs/run_pagerank.py).
+--edges accepts a parquet path or a bucketed edge image as table:NAME.
+Build linkgraph.zip with: python tools/package.py
 """
 
 from __future__ import annotations
@@ -21,8 +23,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--algo", required=True,
                     choices=["wcc", "wcc_star", "lp", "triangles", "bfs", "kcore",
-                             "hits", "truss"])
-    ap.add_argument("--edges", required=True, help="parquet path (src_id, dst_id)")
+                             "hits", "truss", "scc", "betweenness"])
+    ap.add_argument("--edges", required=True,
+                    help="parquet path (src_id, dst_id) or table:NAME edge image")
     ap.add_argument("--vertices", default=None)
     ap.add_argument("--out", required=True)
     ap.add_argument("--ckpt", default=None)
@@ -34,10 +37,12 @@ def main() -> None:
     args = ap.parse_args()
 
     from linkgraph.algos import (
+        betweenness,
         bfs,
         hits,
         kcore,
         label_propagation,
+        scc,
         triangle_counts,
         wcc,
         wcc_star,
@@ -48,7 +53,12 @@ def main() -> None:
     from linkgraph.session import get_spark
 
     spark = get_spark(app_name=f"linkgraph-{args.algo}")
-    edges = spark.read.parquet(args.edges)
+    if args.edges.startswith("table:"):
+        from linkgraph.build import load_edge_image
+
+        edges = load_edge_image(spark, args.edges[len("table:"):])
+    else:
+        edges = spark.read.parquet(args.edges)
     vertices = spark.read.parquet(args.vertices) if args.vertices else None
     engine = SuperstepEngine(spark, ckpt_dir=args.ckpt) if args.ckpt else None
     common = dict(vertices=vertices, engine=engine, resume=args.resume)
@@ -81,6 +91,16 @@ def main() -> None:
             **({"iters": args.iters} if args.iters else {}), **common,
         )
         out = normalized_scores(res.state)
+    elif args.algo == "scc":
+        res = scc(spark, edges, vertices=vertices, partitions=args.partitions)
+        out = res.state.select("id", "comp")
+    elif args.algo == "betweenness":
+        if not args.sources:
+            raise SystemExit("betweenness needs --sources (comma-separated pivot ids)")
+        pivots = [int(s) for s in args.sources.split(",")]
+        res = betweenness(spark, edges, pivots=pivots, vertices=vertices,
+                          partitions=args.partitions)
+        out = res.state.select("id", "bc")
     else:  # truss
         res = truss(spark, edges, k=args.k or TRUSS_K,
                     engine=engine, resume=args.resume)
