@@ -51,7 +51,11 @@ def bfs(
 ) -> RunResult:
     """Level-synchronous BFS; result state = (id, dist, changed)."""
     engine = engine or SuperstepEngine(spark)
-    partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    partitions = (
+        partitions
+        or getattr(edges, "_lg_bucket_count", None)  # bucketed edge image
+        or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
     e = gather_layout(edges, partitions)
     ids = vertices.select("id") if vertices is not None else vertex_ids_from_edges(e)
     src_set = {int(s) for s in sources}

@@ -62,7 +62,11 @@ def hits(
     normalized each iteration). L1-normalize for presentation —
     ``normalized_scores`` does exactly that."""
     engine = engine or SuperstepEngine(spark)
-    partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    partitions = (
+        partitions
+        or getattr(edges, "_lg_bucket_count", None)  # bucketed edge image
+        or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
     fwd = gather_layout(edges, partitions)
     rev = gather_layout(
         edges.select(

@@ -52,7 +52,11 @@ def kcore(
     degree within the active subgraph (only meaningful for active rows).
     """
     engine = engine or SuperstepEngine(spark)
-    partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    partitions = (
+        partitions
+        or getattr(edges, "_lg_bucket_count", None)  # bucketed edge image
+        or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
     sym = gather_layout(symmetrize(edges), partitions)
     ids = vertices.select("id") if vertices is not None else vertex_ids_from_edges(edges)
     deg0 = sym.groupBy(F.col("src_id").alias("id")).agg(

@@ -38,7 +38,11 @@ def wcc(
 ) -> RunResult:
     """Run WCC to fixpoint; result state = (id, comp, changed)."""
     engine = engine or SuperstepEngine(spark)
-    partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    partitions = (
+        partitions
+        or getattr(edges, "_lg_bucket_count", None)  # bucketed edge image
+        or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
     # loop-invariant; pre-partitioned + pre-sorted on the gather key so
     # per-superstep joins reuse the layout with no Sort (build.gather_layout)
     sym = gather_layout(symmetrize(edges), partitions)
