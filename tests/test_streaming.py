@@ -81,3 +81,70 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     # and at least one session must have been closed ACROSS the two runs
     # (state carried over the checkpoint restart)
     assert len(streamed) > len(got1)
+
+
+def test_incremental_edge_ingest_matches_batch_build(spark, tmp_path):
+    """Continuous-crawl ingest: pages arriving as streaming micro-batches
+    (including a RE-CRAWL of existing urls with different outlinks) produce,
+    via the append-only pair log + latest-crawl view, exactly the pair set
+    the batch pipeline (latest_snapshot -> extract_link_pairs) computes on
+    the union of all pages. Second run resumes from the stream checkpoint."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from linkgraph.build import extract_link_pairs, latest_snapshot
+    from linkgraph.streaming import current_edge_pairs, run_edge_ingest_once
+    from linkgraph.synth import gen_pages
+
+    pages1 = gen_pages(spark, 60)
+    # re-crawl 5 of the urls one day later with replaced outlinks
+    targets = [r["url"] for r in pages1.select("url").limit(8).collect()]
+    recrawl_rows = []
+    for i, u in enumerate(targets[:5]):
+        links = "".join(
+            f'<a href="{t}">x</a>' for t in (targets[5:], targets[6:])[i % 2]
+        )
+        recrawl_rows.append(
+            (
+                u,
+                datetime.datetime(2024, 6, 1, 12, 0, i),
+                f"<html><body>{links}</body></html>".encode(),
+                "",
+                "en",
+            )
+        )
+    pages2 = spark.createDataFrame(
+        recrawl_rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+    stage = str(tmp_path / "pages_stream")
+    out = str(tmp_path / "pairs_log")
+    ckpt = str(tmp_path / "ingest_ckpt")
+    pages1.coalesce(1).write.mode("overwrite").parquet(stage)
+    log1 = run_edge_ingest_once(spark, stage, out, ckpt)
+    n1 = log1.count()
+    pages2.coalesce(1).write.mode("append").parquet(stage)
+    log2 = run_edge_ingest_once(spark, stage, out, ckpt)
+    assert log2.count() > n1  # checkpoint resume processed ONLY the new file
+
+    got = {
+        (r["src_url"], r["dst_url"])
+        for r in current_edge_pairs(log2).collect()
+    }
+    all_pages = pages1.unionByName(pages2)
+    want = {
+        (r["src_url"], r["dst_url"])
+        for r in extract_link_pairs(latest_snapshot(all_pages))
+        .select("src_url", "dst_url")
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    # the re-crawl REPLACED outlinks: at least one original pair is gone
+    orig = {
+        (r["src_url"], r["dst_url"])
+        for r in extract_link_pairs(pages1).select("src_url", "dst_url").distinct().collect()
+        if r["src_url"] in set(targets[:5])
+    }
+    assert orig - got, "re-crawl did not replace any pair"
