@@ -92,11 +92,17 @@ def main() -> None:
         )
         out = normalized_scores(res.state)
     elif args.algo == "scc":
+        if args.ckpt or args.resume:
+            raise SystemExit("scc does not support --ckpt/--resume "
+                             "(multi-phase loop; see linkgraph/algos/scc.py)")
         res = scc(spark, edges, vertices=vertices, partitions=args.partitions)
         out = res.state.select("id", "comp")
     elif args.algo == "betweenness":
         if not args.sources:
             raise SystemExit("betweenness needs --sources (comma-separated pivot ids)")
+        if args.ckpt or args.resume:
+            raise SystemExit("betweenness does not support --ckpt/--resume "
+                             "(two-sweep loop; see linkgraph/algos/betweenness.py)")
         pivots = [int(s) for s in args.sources.split(",")]
         res = betweenness(spark, edges, pivots=pivots, vertices=vertices,
                           partitions=args.partitions)

@@ -34,15 +34,10 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linkgraph.build import gather_layout, vertex_ids_from_edges
-from linkgraph.engine import RunResult, SuperstepEngine
+from linkgraph.build import gather_layout, resolve_partitions, vertex_ids_from_edges
+from linkgraph.engine import RunResult, SuperstepEngine, make_changed_stop
 
-
-def _changed_stop(new_state: DataFrame, iteration: int) -> tuple[bool, dict]:
-    changed = new_state.agg(
-        F.sum(F.col("changed").cast("long")).alias("c")
-    ).first()["c"]
-    return (changed == 0), {"frontier": int(changed or 0)}
+_changed_stop = make_changed_stop("frontier")
 
 
 def betweenness(
@@ -60,7 +55,7 @@ def betweenness(
     few hundred sampled pivots estimate within a few percent.
     """
     engine = SuperstepEngine(spark)
-    partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    partitions = resolve_partitions(spark, edges, partitions)
     e0 = (
         edges.select("src_id", "dst_id")
         .filter(F.col("src_id") != F.col("dst_id"))
@@ -72,8 +67,10 @@ def betweenness(
         partitions,
     )
     ids = vertices.select("id") if vertices is not None else vertex_ids_from_edges(edges)
+    # deduped: a repeated pivot would double its (pivot, id) state rows,
+    # compounding sigma every BFS level (2^depth inflation, silently wrong)
     piv_df = spark.createDataFrame(
-        [(int(p),) for p in pivots], "pivot long"
+        [(p,) for p in sorted({int(p) for p in pivots})], "pivot long"
     )
 
     is_src = F.col("id") == F.col("pivot")

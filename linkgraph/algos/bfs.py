@@ -28,15 +28,10 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linkgraph.build import gather_layout, vertex_ids_from_edges
-from linkgraph.engine import RunResult, SuperstepEngine
+from linkgraph.build import gather_layout, resolve_partitions, vertex_ids_from_edges
+from linkgraph.engine import RunResult, SuperstepEngine, make_changed_stop
 
-
-def _should_stop(new_state: DataFrame, iteration: int) -> tuple[bool, dict]:
-    reached = new_state.agg(
-        F.sum(F.col("changed").cast("long")).alias("c")
-    ).first()["c"]
-    return (reached == 0), {"newly_reached": int(reached or 0)}
+_should_stop = make_changed_stop("newly_reached")
 
 
 def bfs(
@@ -51,11 +46,7 @@ def bfs(
 ) -> RunResult:
     """Level-synchronous BFS; result state = (id, dist, changed)."""
     engine = engine or SuperstepEngine(spark)
-    partitions = (
-        partitions
-        or getattr(edges, "_lg_bucket_count", None)  # bucketed edge image
-        or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    )
+    partitions = resolve_partitions(spark, edges, partitions)
     e = gather_layout(edges, partitions)
     ids = vertices.select("id") if vertices is not None else vertex_ids_from_edges(e)
     src_set = {int(s) for s in sources}

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linkgraph.build import gather_layout, vertex_ids_from_edges
+from linkgraph.build import gather_layout, resolve_partitions, vertex_ids_from_edges
 from linkgraph.conventions import HITS_ITERS
 from linkgraph.engine import RunResult, SuperstepEngine
 
@@ -62,11 +62,7 @@ def hits(
     normalized each iteration). L1-normalize for presentation —
     ``normalized_scores`` does exactly that."""
     engine = engine or SuperstepEngine(spark)
-    partitions = (
-        partitions
-        or getattr(edges, "_lg_bucket_count", None)  # bucketed edge image
-        or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    )
+    partitions = resolve_partitions(spark, edges, partitions)
     fwd = gather_layout(edges, partitions)
     rev = gather_layout(
         edges.select(

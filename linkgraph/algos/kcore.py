@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linkgraph.build import gather_layout, symmetrize, vertex_ids_from_edges
+from linkgraph.build import (
+    gather_layout,
+    resolve_partitions,
+    symmetrize,
+    vertex_ids_from_edges,
+)
 from linkgraph.engine import RunResult, SuperstepEngine
 
 
@@ -52,11 +57,7 @@ def kcore(
     degree within the active subgraph (only meaningful for active rows).
     """
     engine = engine or SuperstepEngine(spark)
-    partitions = (
-        partitions
-        or getattr(edges, "_lg_bucket_count", None)  # bucketed edge image
-        or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    )
+    partitions = resolve_partitions(spark, edges, partitions)
     sym = gather_layout(symmetrize(edges), partitions)
     ids = vertices.select("id") if vertices is not None else vertex_ids_from_edges(edges)
     deg0 = sym.groupBy(F.col("src_id").alias("id")).agg(

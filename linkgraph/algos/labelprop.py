@@ -19,21 +19,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linkgraph.build import gather_layout, symmetrize, vertex_ids_from_edges
+from linkgraph.build import (
+    gather_layout,
+    resolve_partitions,
+    symmetrize,
+    vertex_ids_from_edges,
+)
 from linkgraph.conventions import LP_ITERS
-from linkgraph.engine import RunResult, SuperstepEngine
+from linkgraph.engine import RunResult, SuperstepEngine, make_changed_stop
 
-
-def _telemetry_fn(new_state: DataFrame, iteration: int) -> tuple[bool, dict]:
-    """Never stops (fixed iterations are the pinned convention); emits the
-    per-round changed-label count into engine metrics. Synchronous LP's
-    known failure mode is 2-cycle oscillation — a changed count that stops
-    shrinking (or alternates between two values) is the signature, and at
-    crawl scale this is the only practical way to see it."""
-    changed = new_state.agg(
-        F.sum(F.col("changed").cast("long")).alias("c")
-    ).first()["c"]
-    return False, {"changed_labels": int(changed or 0)}
+# never stops (fixed iterations are the pinned convention); emits the
+# per-round changed-label count — synchronous LP's oscillation failure
+# mode is only visible through this at crawl scale
+_telemetry_fn = make_changed_stop("changed_labels", stop_on_zero=False)
 
 
 def label_propagation(
@@ -54,11 +52,7 @@ def label_propagation(
     materialized state per superstep — the gather itself is untouched).
     """
     engine = engine or SuperstepEngine(spark)
-    partitions = (
-        partitions
-        or getattr(edges, "_lg_bucket_count", None)  # bucketed edge image
-        or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    )
+    partitions = resolve_partitions(spark, edges, partitions)
     # loop-invariant; pre-partitioned + pre-sorted on the gather key so
     # per-superstep joins reuse the layout with no Sort (build.gather_layout)
     sym = gather_layout(symmetrize(edges), partitions)

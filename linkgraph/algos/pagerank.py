@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linkgraph.build import gather_layout, vertex_ids_from_edges
+from linkgraph.build import gather_layout, resolve_partitions, vertex_ids_from_edges
 from linkgraph.conventions import (
     HUB_OUTDEG_THRESHOLD,
     PR_DAMPING,
@@ -148,13 +148,7 @@ def pagerank(
     function of those three; a mismatch silently mis-routes state).
     """
     engine = engine or SuperstepEngine(spark)
-    # a bucketed edge image (build.load_edge_image) carries its own
-    # partitioning — adopt it so gather_layout skips the cold-start shuffle
-    partitions = (
-        partitions
-        or getattr(edges, "_lg_bucket_count", None)
-        or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    )
+    partitions = resolve_partitions(spark, edges, partitions)
     if weight_col is not None and kernel not in ("sql",):
         raise ValueError("weight_col is supported on the sql kernel")
     # Loop-invariant edge table: hash-partition by the gather key ONCE,
@@ -539,12 +533,18 @@ def _make_sem_step(
     # writer regardless of how many blocks there are. With reuse_layout a
     # pre-existing image is consumed as-is (el2fg-style build-once), valid
     # only for the identical (edges, partitions, hub_threshold) that wrote
-    # it — routing is a pure function of those three.
-    import os as _os
-
-    have_layout = reuse_layout and _os.path.isdir(layout_dir) and any(
-        name.startswith("part=") for name in _os.listdir(layout_dir)
-    )
+    # it — routing is a pure function of those three. Existence is probed
+    # through Spark (NOT the driver's local filesystem — layout_dir on a
+    # cluster is hdfs://s3:// shared storage, where os.path.isdir is
+    # always False and would silently rewrite the image every run).
+    have_layout = False
+    if reuse_layout:
+        try:
+            have_layout = bool(
+                spark.read.parquet(layout_dir).select("part").head(1)
+            )
+        except Exception:
+            have_layout = False  # missing/empty/unreadable -> (re)write
     if not have_layout:
         (
             edges_parts.repartition(partitions, "part")

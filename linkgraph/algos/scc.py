@@ -41,15 +41,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linkgraph.build import gather_layout, vertex_ids_from_edges
-from linkgraph.engine import RunResult, SuperstepEngine
+from linkgraph.build import gather_layout, resolve_partitions, vertex_ids_from_edges
+from linkgraph.engine import RunResult, SuperstepEngine, make_changed_stop
 
-
-def _changed_stop(new_state: DataFrame, iteration: int) -> tuple[bool, dict]:
-    changed = new_state.agg(
-        F.sum(F.col("changed").cast("long")).alias("c")
-    ).first()["c"]
-    return (changed == 0), {"changed": int(changed or 0)}
+_changed_stop = make_changed_stop("changed")
 
 
 def scc(
@@ -70,7 +65,7 @@ def scc(
     lineage via the engine's localCheckpoint.
     """
     engine = SuperstepEngine(spark)
-    partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    partitions = resolve_partitions(spark, edges, partitions)
     e0 = (
         edges.select("src_id", "dst_id")
         .filter(F.col("src_id") != F.col("dst_id"))
@@ -104,7 +99,12 @@ def scc(
                 has_out = live.select(F.col("src_id").alias("id")).distinct()
                 has_in = live.select(F.col("dst_id").alias("id")).distinct()
                 keep = has_out.join(has_in, "id", "left_semi")
-                trivial = remaining.join(keep, "id", "left_anti")
+                # materialized once: consumed by the count, the assigned
+                # union, and the remaining anti-join below (3x the join
+                # pipeline otherwise)
+                trivial = remaining.join(keep, "id", "left_anti").localCheckpoint(
+                    eager=True
+                )
                 n_trivial = trivial.count()
                 metrics.append({"phase": phase, "stage": "trim", "assigned": n_trivial})
                 if n_trivial == 0:
@@ -179,28 +179,36 @@ def scc(
                     frontier = state.filter(F.col("changed")).select(
                         F.col("id").alias("src_id"), F.col("color").alias("fcolor")
                     )
+                    # a vertex is newly marked only by a mark of ITS OWN
+                    # color — but marks of SEVERAL colors can reach the same
+                    # vertex in one superstep (marking stays in-class,
+                    # messages do not: an out-neighbor of a different color
+                    # still messages us). The combiner must therefore be
+                    # per (dst, fcolor) — a plain min over fcolor can drop
+                    # the matching color behind a lower foreign one and
+                    # permanently split the SCC. distinct() dedups with
+                    # map-side combining; the color match then happens in
+                    # the join condition itself.
                     msgs = (
                         live_rev.join(frontier, "src_id")
-                        .groupBy("dst_id")
-                        .agg(F.min("fcolor").alias("mcolor"))
-                    )
-                    # a vertex is newly marked only by a mark of ITS OWN
-                    # color; min is a safe combiner because distinct colors
-                    # never mark the same vertex (color classes partition
-                    # the subgraph and marks stay inside their class)
-                    newly = (
-                        ~F.col("mark")
-                        & F.col("mcolor").isNotNull()
-                        & (F.col("mcolor") == F.col("color"))
-                    )
-                    return (
-                        state.join(msgs, state["id"] == msgs["dst_id"], "left")
                         .select(
-                            state["id"],
-                            state["color"],
-                            (F.col("mark") | newly).alias("mark"),
-                            newly.alias("changed"),
+                            F.col("dst_id").alias("m_id"),
+                            F.col("fcolor").alias("m_color"),
                         )
+                        .distinct()
+                    )
+                    joined = state.join(
+                        msgs,
+                        (state["id"] == msgs["m_id"])
+                        & (state["color"] == msgs["m_color"]),
+                        "left",
+                    )
+                    newly = ~F.col("mark") & F.col("m_color").isNotNull()
+                    return joined.select(
+                        state["id"],
+                        state["color"],
+                        (F.col("mark") | newly).alias("mark"),
+                        newly.alias("changed"),
                     )
 
                 marked = engine.run(

@@ -16,15 +16,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linkgraph.build import gather_layout, symmetrize, vertex_ids_from_edges
-from linkgraph.engine import RunResult, SuperstepEngine
+from linkgraph.build import (
+    gather_layout,
+    resolve_partitions,
+    symmetrize,
+    vertex_ids_from_edges,
+)
+from linkgraph.engine import RunResult, SuperstepEngine, make_changed_stop
 
-
-def _should_stop(new_state: DataFrame, iteration: int) -> tuple[bool, dict]:
-    changed = new_state.agg(
-        F.sum(F.col("changed").cast("long")).alias("c")
-    ).first()["c"]
-    return (changed == 0), {"changed": int(changed or 0)}
+_should_stop = make_changed_stop("changed")
 
 
 def wcc(
@@ -38,11 +38,7 @@ def wcc(
 ) -> RunResult:
     """Run WCC to fixpoint; result state = (id, comp, changed)."""
     engine = engine or SuperstepEngine(spark)
-    partitions = (
-        partitions
-        or getattr(edges, "_lg_bucket_count", None)  # bucketed edge image
-        or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    )
+    partitions = resolve_partitions(spark, edges, partitions)
     # loop-invariant; pre-partitioned + pre-sorted on the gather key so
     # per-superstep joins reuse the layout with no Sort (build.gather_layout)
     sym = gather_layout(symmetrize(edges), partitions)

@@ -195,6 +195,19 @@ def load_edge_image(spark, table: str) -> DataFrame:
     return df
 
 
+def resolve_partitions(spark, edges: DataFrame, partitions: int | None) -> int:
+    """Gather-partition count for an iterative kernel, in priority order:
+    explicit caller argument > the bucket count a ``load_edge_image``
+    DataFrame carries (adopting the image's baked-in partitioning lets
+    ``gather_layout`` skip the cold-start shuffle) > the session's shuffle
+    partitions. Single definition — every kernel resolves identically."""
+    return (
+        partitions
+        or getattr(edges, "_lg_bucket_count", None)
+        or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
+
+
 def gather_layout(
     edges: DataFrame,
     partitions: int,

@@ -40,6 +40,22 @@ StepFn = Callable[[DataFrame, int], DataFrame]
 StopFn = Callable[[DataFrame, int], tuple[bool, dict]]
 
 
+def make_changed_stop(metric_key: str = "changed", stop_on_zero: bool = True) -> StopFn:
+    """The standard frontier stop/telemetry function: sum the boolean
+    ``changed`` column of the new state, log it under ``metric_key``, and
+    (unless ``stop_on_zero`` is off — fixed-iteration telemetry mode) stop
+    when it hits 0. One shared definition for every frontier kernel."""
+
+    def fn(new_state: DataFrame, iteration: int) -> tuple[bool, dict]:
+        changed = new_state.agg(
+            F.sum(F.col("changed").cast("long")).alias("c")
+        ).first()["c"]
+        n = int(changed or 0)
+        return (stop_on_zero and n == 0), {metric_key: n}
+
+    return fn
+
+
 @dataclass
 class RunResult:
     state: DataFrame

@@ -279,13 +279,18 @@ def extract_pairs_stream(pages: DataFrame) -> DataFrame:
     This is the continuous-crawl ingest path the north-star pipeline
     implies: new WARC batches land as files, each micro-batch extracts its
     links, and the pair log grows append-only. ``warc_ts`` rides along so
-    re-crawls are resolvable downstream (``current_edge_pairs``)."""
+    re-crawls are resolvable downstream (``current_edge_pairs``).
+
+    ``explode_outer``, not ``explode``: a crawl with ZERO links must still
+    land one (src_url, warc_ts, NULL) tombstone row — otherwise a page
+    that goes dead (soft-404/paywall re-crawl) leaves no trace in the log
+    and its stale edges would survive the latest-crawl view forever."""
     from linkgraph.extract import extract_links_udf
 
     return pages.select(
         F.col("url").alias("src_url"),
         "warc_ts",
-        F.explode(extract_links_udf(F.col("html"), F.col("url"))).alias("dst_url"),
+        F.explode_outer(extract_links_udf(F.col("html"), F.col("url"))).alias("dst_url"),
     )
 
 
@@ -299,6 +304,10 @@ def current_edge_pairs(pairs: DataFrame) -> DataFrame:
     latest = pairs.groupBy("src_url").agg(F.max("warc_ts").alias("warc_ts"))
     return (
         pairs.join(latest, ["src_url", "warc_ts"], "left_semi")
+        # drop zero-link tombstones AFTER the latest-crawl restriction:
+        # the tombstone's warc_ts must win the max() so the dead page's
+        # older edges vanish, but it contributes no edge itself
+        .filter(F.col("dst_url").isNotNull())
         .select("src_url", "dst_url")
         .distinct()
     )
@@ -329,4 +338,16 @@ def run_edge_ingest_once(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    log_schema = StructType(
+        [
+            StructField("src_url", StringType(), True),
+            StructField("warc_ts", TimestampType(), True),
+            StructField("dst_url", StringType(), True),
+        ]
+    )
+    try:
+        return spark.read.schema(log_schema).parquet(out_dir)
+    except Exception:
+        # first poll before any pages landed: the sink never created
+        # out_dir — an empty log, not an error (the caller loops)
+        return spark.createDataFrame([], log_schema)

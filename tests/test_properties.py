@@ -199,6 +199,34 @@ def test_star_contraction_formulation_matches_oracle_wcc(g):
         assert comp[v] == want[v]
 
 
+def test_spark_scc_cross_color_mark_collision(spark):
+    """Regression: in the backward sweep, marks of SEVERAL colors can reach
+    one vertex in the same superstep (here root 1's mark and root 5's mark
+    both hit vertex 7). A min-combiner over the mark colors dropped the
+    matching color and split the {5,6,7} SCC into singletons."""
+    from linkgraph.algos import scc
+
+    if not HAS_NX:
+        pytest.skip("networkx missing")
+    edges = [(5, 6), (6, 7), (7, 5), (1, 2), (2, 1), (7, 1)]
+    df = spark.createDataFrame(edges, "src_id long, dst_id long")
+    res = scc(spark, df)
+    got = {r["id"]: r["comp"] for r in res.state.collect()}
+    assert got == {1: 1, 2: 1, 5: 5, 6: 5, 7: 5}
+
+
+def test_betweenness_duplicate_pivots_are_deduped(spark):
+    """pivots=[3,3] must equal pivots=[3] — duplicated pivot state rows
+    would compound sigma every BFS level (silently wrong bc)."""
+    from linkgraph.algos import betweenness
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (1, 3)]
+    df = spark.createDataFrame(edges, "src_id long, dst_id long")
+    one = {r["id"]: r["bc"] for r in betweenness(spark, df, pivots=[3]).state.collect()}
+    dup = {r["id"]: r["bc"] for r in betweenness(spark, df, pivots=[3, 3]).state.collect()}
+    assert one == dup
+
+
 @pytest.mark.parametrize("seed", [3, 11])
 def test_spark_scc_matches_networkx_random(spark, seed):
     """SCC (coloring/forward-backward with trimming) labels every vertex

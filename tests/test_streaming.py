@@ -148,3 +148,36 @@ def test_incremental_edge_ingest_matches_batch_build(spark, tmp_path):
         if r["src_url"] in set(targets[:5])
     }
     assert orig - got, "re-crawl did not replace any pair"
+
+    # a page that goes DEAD (zero-link re-crawl) must lose ALL its edges:
+    # the explode_outer tombstone row carries the newer warc_ts into the
+    # latest-crawl view (a plain explode would leave the stale edges alive)
+    dead_url = targets[5]
+    assert any(s == dead_url for s, _ in got), "precondition: dead page had edges"
+    pages3 = spark.createDataFrame(
+        [(dead_url, datetime.datetime(2024, 6, 2), b"<html><body>gone</body></html>", "", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    pages3.coalesce(1).write.mode("append").parquet(stage)
+    log3 = run_edge_ingest_once(spark, stage, out, ckpt)
+    got3 = {
+        (r["src_url"], r["dst_url"]) for r in current_edge_pairs(log3).collect()
+    }
+    assert not any(s == dead_url for s, _ in got3), "dead page's edges survived"
+    assert got3 == {p for p in got if p[0] != dead_url}
+
+
+def test_edge_ingest_empty_first_poll_returns_empty_log(spark, tmp_path):
+    """The ingest poll loop may fire before the crawler lands any file —
+    that is an empty pair log, not a PATH_NOT_FOUND crash."""
+    import os
+
+    from linkgraph.streaming import run_edge_ingest_once
+
+    stage = str(tmp_path / "pages_empty")
+    os.makedirs(stage, exist_ok=True)
+    log = run_edge_ingest_once(
+        spark, stage, str(tmp_path / "pairs_empty"), str(tmp_path / "ckpt_empty")
+    )
+    assert log.count() == 0
+    assert [f.name for f in log.schema.fields] == ["src_url", "warc_ts", "dst_url"]
