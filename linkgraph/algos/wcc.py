@@ -35,8 +35,20 @@ def wcc(
     engine: SuperstepEngine | None = None,
     resume: bool = False,
     partitions: int | None = None,
+    salted: bool = False,
+    hub_threshold: int | None = None,
 ) -> RunResult:
-    """Run WCC to fixpoint; result state = (id, comp, changed)."""
+    """Run WCC to fixpoint; result state = (id, comp, changed).
+
+    ``salted`` enables the hybrid two-phase MIN combine for hot reduce
+    keys (undirected degree > ``hub_threshold``, default
+    conventions.HUB_OUTDEG_THRESHOLD) — the same insurance as PageRank's
+    salted sum for the 1000-executor regime where a hub dst receives one
+    partial per task; the tail keeps the direct map-combined path.
+    """
+    from linkgraph.conventions import HUB_OUTDEG_THRESHOLD
+    from linkgraph.skew import salted_agg
+
     engine = engine or SuperstepEngine(spark)
     partitions = resolve_partitions(spark, edges, partitions)
     # loop-invariant; pre-partitioned + pre-sorted on the gather key so
@@ -46,16 +58,28 @@ def wcc(
     state0 = ids.select(
         "id", F.col("id").alias("comp"), F.lit(True).alias("changed")
     )
+    hot = None
+    if salted:
+        hot = (
+            sym.groupBy("dst_id")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") > (hub_threshold or HUB_OUTDEG_THRESHOLD))
+            .select("dst_id")
+            .persist()
+        )
+        hot.count()
 
     def step(state: DataFrame, iteration: int) -> DataFrame:
         frontier = state.filter(F.col("changed")).select(
             F.col("id").alias("src_id"), F.col("comp").alias("src_comp")
         )
-        msgs = (
-            sym.join(frontier, "src_id")
-            .groupBy("dst_id")
-            .agg(F.min("src_comp").alias("cand"))
-        )
+        gathered = sym.join(frontier, "src_id").select("dst_id", "src_comp")
+        if salted:
+            msgs = salted_agg(
+                gathered, key="dst_id", value="src_comp", agg="min", hot_keys=hot
+            ).withColumnRenamed("src_comp", "cand")
+        else:
+            msgs = gathered.groupBy("dst_id").agg(F.min("src_comp").alias("cand"))
         return (
             state.join(msgs, state["id"] == msgs["dst_id"], "left")
             .select(
@@ -72,6 +96,8 @@ def wcc(
     finally:
         # unconditional: an exception mid-run must not leak the O(E) cache
         sym.unpersist()
+        if hot is not None:
+            hot.unpersist()
 
 
 # ------------------------------------------------------- star-contraction WCC

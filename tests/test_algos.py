@@ -378,3 +378,15 @@ def test_sem_layout_reuse_skips_rewrite(spark, wiki_edges_df, wiki_vertices_df, 
     a = first.state.select("id", "rank").toPandas().sort_values("id")["rank"].to_numpy()
     b = second.state.select("id", "rank").toPandas().sort_values("id")["rank"].to_numpy()
     assert np.allclose(a, b, rtol=0, atol=1e-12)
+
+
+def test_wcc_salted_equals_plain(spark, wiki_edges_df, wiki_vertices_df):
+    """Hybrid salted MIN combine ≡ plain WCC (exact) — hub_threshold forced
+    low so the fixture has a non-empty hot set and BOTH paths execute."""
+    plain = wcc(spark, wiki_edges_df, vertices=wiki_vertices_df)
+    salted = wcc(
+        spark, wiki_edges_df, vertices=wiki_vertices_df, salted=True, hub_threshold=20
+    )
+    a = _vec(plain.state.select("id", "comp"), "comp")
+    b = _vec(salted.state.select("id", "comp"), "comp")
+    assert (a == b).all()
