@@ -422,6 +422,21 @@ DOC_SIMHASH_NEAR_DUPS_SQL = _simhash_near_dups_sql()
 
 # ------------------------------------------------------------ text analysis
 
+# PII patterns, restricted to syntax Java regex (Spark) and RE2 (DuckDB)
+# both accept (no lookaround): the standard pretraining scrub targets.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_URL_RE = r"https?://[^\s]+"
+
+
+def scrub_text(col):
+    """Redact emails then URLs (training-data scrub): replaced with typed
+    placeholder tokens so downstream token statistics stay stable. Pure
+    column expressions — JVM-side, linear scan."""
+    return F.regexp_replace(
+        F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>"), PII_URL_RE, "<URL>"
+    )
+
+
 # GPT-2-style pre-tokenizer approximation, restricted to syntax both Java
 # regex (Spark) and RE2 (DuckDB) accept: no lookahead, explicit classes.
 # Runs of letters / digits / other-symbols (each with optional leading
@@ -625,6 +640,10 @@ def q_doc_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the individual q_doc_token_count / q_doc_quality / q_doc_lang_id
     operators).
 
+    PII-density columns (``n_emails``, ``n_urls``) count scrub targets per
+    doc — the filter signal; ``scrub_text`` is the matching redaction
+    transform using the same patterns.
+
     Repetition columns (the standard pretraining quality filters, Gopher
     §A1.1 family): ``dup_word_frac`` = 1 - |distinct tokens|/|tokens|,
     and ``top_bigram_frac`` = occurrences of the most frequent word
@@ -700,6 +719,12 @@ def q_doc_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_token_len"),
         F.round(dup_words, 4).alias("dup_word_frac"),
         F.round(top_bigram, 4).alias("top_bigram_frac"),
+        F.size(F.regexp_extract_all(lowered, F.lit(PII_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(lowered, F.lit(PII_URL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_urls"),
         F.array_min(lang_pairs)["lang"].alias("predicted_lang"),
         F.col("lang").alias("actual_lang"),
     )
@@ -741,6 +766,8 @@ SELECT doc_id,
                                                x -> len(list_filter(bigrams, b -> b = x))))
                        / len(bigrams)
                   ELSE 0.0 END, 4) AS top_bigram_frac,
+       len(regexp_extract_all(lower(text), '{PII_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(lower(text), '{PII_URL_RE}')) AS n_urls,
        list_sort([{structs}])[1].lang AS predicted_lang,
        lang AS actual_lang
 FROM bg

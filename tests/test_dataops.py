@@ -220,3 +220,35 @@ def test_embedding_near_dup_scale_guard(spark):
     # sign, hence share all bands — guaranteed recall for true duplicates
     dup_pairs = {k for k, v in e.items() if v >= 0.999}
     assert dup_pairs <= set(b)
+
+
+def test_scrub_text_and_pii_counts(spark):
+    """scrub_text redacts exactly what the PII-density metrics count: after
+    scrubbing, the same count expressions find zero emails/urls, and
+    non-PII text passes through untouched."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.textops import PII_EMAIL_RE, PII_URL_RE, scrub_text
+
+    rows = [
+        ("contact bob@example.com or visit https://example.com/a?b=1 now",),
+        ("two mails: a.b+c@x-y.org and d@e.io plus http://t.co/x",),
+        ("no pii here, just words",),
+        ("",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    out = df.select(
+        scrub_text(F.lower(F.col("text"))).alias("clean"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(PII_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(PII_URL_RE), F.lit(0))).alias("n_urls"),
+    ).collect()
+    assert [r["n_emails"] for r in out] == [1, 2, 0, 0]
+    assert [r["n_urls"] for r in out] == [1, 1, 0, 0]
+    for r in out:
+        leftover = df.sparkSession.createDataFrame([(r["clean"],)], "text string").select(
+            F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL_RE), F.lit(0))).alias("e"),
+            F.size(F.regexp_extract_all("text", F.lit(PII_URL_RE), F.lit(0))).alias("u"),
+        ).first()
+        assert leftover["e"] == 0 and leftover["u"] == 0, r["clean"]
+    assert out[2]["clean"] == "no pii here, just words"
+    assert "<EMAIL>" in out[0]["clean"] and "<URL>" in out[0]["clean"]
