@@ -88,3 +88,65 @@ def triangle_counts(
     )
     und.unpersist()
     return out
+
+
+def cycle_triangle_counts(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+) -> DataFrame:
+    """Per-vertex DIRECTED cycle-triangle counts (the upstream
+    ``cycle_triangle_graph.cpp`` variant): count(v) = number of directed
+    3-cycles u→x→y→u through v. Returns DataFrame(id, ctri).
+
+    Each cycle is generated exactly once, at its (deg, id)-minimal member
+    m (struct total order, 64-bit-safe like the undirected kernel): wedge
+    = m's OUT-edge m→x paired with m's IN-edge y→m, both endpoints
+    strictly above m in the order, closed by the directed edge x→y. The
+    degree-min anchoring is the same hub-safety argument as the
+    undirected orientation — a hub generates wedges only toward its few
+    higher-degree neighbors, never out-deg × in-deg."""
+    e = (
+        edges.select("src_id", "dst_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+        .persist()
+    )
+    # total undirected degree orders the anchoring (hub-safety); ties by id
+    deg = (
+        e.select(F.col("src_id").alias("id"))
+        .unionByName(e.select(F.col("dst_id").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    key = deg.select("id", F.struct(F.col("deg").alias("d"), F.col("id").alias("i")).alias("key"))
+    ks = key.select(F.col("id").alias("src_id"), F.col("key").alias("key_s"))
+    kd = key.select(F.col("id").alias("dst_id"), F.col("key").alias("key_d"))
+    keyed = e.join(ks, "src_id").join(kd, "dst_id").select(
+        "src_id", "dst_id", "key_s", "key_d"
+    )
+    out_m = keyed.filter(F.col("key_s") < F.col("key_d")).select(
+        F.col("src_id").alias("m"), F.col("dst_id").alias("x"), F.col("key_d").alias("key_x")
+    )
+    in_m = keyed.filter(F.col("key_d") < F.col("key_s")).select(
+        F.col("dst_id").alias("m"), F.col("src_id").alias("y"), F.col("key_s").alias("key_y")
+    )
+    wedges = (
+        out_m.join(in_m, "m")
+        .filter(F.col("x") != F.col("y"))
+        .select("m", "x", "y")
+    )
+    closer = e.select(F.col("src_id").alias("x"), F.col("dst_id").alias("y"))
+    cycles = wedges.join(closer, ["x", "y"], "inner")  # m -> x -> y -> m
+    members = (
+        cycles.select(F.col("m").alias("id"))
+        .unionByName(cycles.select(F.col("x").alias("id")))
+        .unionByName(cycles.select(F.col("y").alias("id")))
+    )
+    counts = members.groupBy("id").agg(F.count(F.lit(1)).alias("ctri"))
+    ids = vertices.select("id") if vertices is not None else vertex_ids_from_edges(edges)
+    out = ids.join(counts, "id", "left").select(
+        "id", F.coalesce("ctri", F.lit(0)).cast("long").alias("ctri")
+    )
+    e.unpersist()
+    return out

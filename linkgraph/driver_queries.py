@@ -409,8 +409,15 @@ def _lp_sql(rounds: int) -> str:
 
 
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both upstream triangle programs in one result: undirected per-vertex
+    counts (``tri``, A4) and the directed cycle-triangle variant
+    (``ctri``, ``cycle_triangle_graph.cpp`` analogue)."""
+    from linkgraph.algos.triangles import cycle_triangle_counts
+
     e = lineitem_edges(spark, sf_dir)
-    return triangle_counts(spark, e)
+    und = triangle_counts(spark, e)
+    cyc = cycle_triangle_counts(spark, e)
+    return und.join(cyc, "id").select("id", "tri", "ctri")
 
 
 _TRI_SQL = f"""
@@ -429,9 +436,24 @@ per_vertex AS (
     SELECT id, COUNT(*) AS tri FROM (
         SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
     ) GROUP BY id
+),
+cyc AS (
+    -- each directed 3-cycle once, anchored at its min-id member
+    SELECT a.src_id AS u, a.dst_id AS x, b.dst_id AS y
+    FROM edges a
+    JOIN edges b ON b.src_id = a.dst_id
+    JOIN edges c ON c.src_id = b.dst_id AND c.dst_id = a.src_id
+    WHERE a.src_id < a.dst_id AND a.src_id < b.dst_id
+),
+cyc_per_vertex AS (
+    SELECT id, COUNT(*) AS ctri FROM (
+        SELECT u AS id FROM cyc UNION ALL SELECT x FROM cyc UNION ALL SELECT y FROM cyc
+    ) GROUP BY id
 )
-SELECT v.id, COALESCE(p.tri, 0) AS tri
-FROM verts v LEFT JOIN per_vertex p ON p.id = v.id
+SELECT v.id, COALESCE(p.tri, 0) AS tri, COALESCE(c.ctri, 0) AS ctri
+FROM verts v
+LEFT JOIN per_vertex p ON p.id = v.id
+LEFT JOIN cyc_per_vertex c ON c.id = v.id
 """
 
 

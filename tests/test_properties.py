@@ -282,3 +282,29 @@ def test_spark_betweenness_exact_matches_networkx(spark, seed):
     want = nx.betweenness_centrality(G, normalized=False)
     for v in range(n):
         assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+
+
+@pytest.mark.parametrize("seed", [19, 23])
+def test_spark_cycle_triangles_match_adjacency_cube(spark, seed):
+    """Directed cycle triangles per vertex == diag(A^3) on seeded random
+    digraphs (each directed 3-cycle contributes one closed length-3 walk
+    per member; both orientations of a bidirectional triangle count as two
+    distinct cycles)."""
+    import random
+
+    import numpy as np
+
+    from linkgraph.algos.triangles import cycle_triangle_counts
+
+    rng = random.Random(seed)
+    n = 30
+    edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(110)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src_id long, dst_id long")
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = {r["id"]: r["ctri"] for r in cycle_triangle_counts(spark, df, vertices=verts).collect()}
+    A = np.zeros((n, n), dtype=np.int64)
+    for a, b in edges:
+        A[a, b] = 1
+    want = np.diag(A @ A @ A)
+    assert got == {i: int(want[i]) for i in range(n)}
