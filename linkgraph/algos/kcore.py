@@ -26,9 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from linkgraph.build import (
-    gather_layout,
     resolve_partitions,
-    symmetrize,
+    symmetrized_gather_layout,
     vertex_ids_from_edges,
 )
 from linkgraph.engine import RunResult, SuperstepEngine
@@ -58,7 +57,7 @@ def kcore(
     """
     engine = engine or SuperstepEngine(spark)
     partitions = resolve_partitions(spark, edges, partitions)
-    sym = gather_layout(symmetrize(edges), partitions)
+    sym = symmetrized_gather_layout(edges, partitions)  # ONE shuffle
     ids = vertices.select("id") if vertices is not None else vertex_ids_from_edges(edges)
     deg0 = sym.groupBy(F.col("src_id").alias("id")).agg(
         F.count(F.lit(1)).alias("deg")

@@ -17,9 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from linkgraph.build import (
-    gather_layout,
     resolve_partitions,
-    symmetrize,
+    symmetrized_gather_layout,
     vertex_ids_from_edges,
 )
 from linkgraph.engine import RunResult, SuperstepEngine, make_changed_stop
@@ -53,7 +52,7 @@ def wcc(
     partitions = resolve_partitions(spark, edges, partitions)
     # loop-invariant; pre-partitioned + pre-sorted on the gather key so
     # per-superstep joins reuse the layout with no Sort (build.gather_layout)
-    sym = gather_layout(symmetrize(edges), partitions)
+    sym = symmetrized_gather_layout(edges, partitions)  # ONE shuffle
     ids = vertices.select("id") if vertices is not None else vertex_ids_from_edges(edges)
     state0 = ids.select(
         "id", F.col("id").alias("comp"), F.lit(True).alias("changed")

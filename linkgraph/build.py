@@ -244,6 +244,33 @@ def gather_layout(
     )
 
 
+def symmetrized_gather_layout(edges: DataFrame, partitions: int) -> DataFrame:
+    """``gather_layout(symmetrize(edges), n)`` in ONE shuffle instead of
+    two-three: union both edge directions, hash-partition straight onto
+    the gather key, then dedup + sort WITHIN partitions.
+
+    The trick: ``dropDuplicates(["src_id", "dst_id"])`` after
+    ``repartition(n, "src_id")`` needs no further Exchange — hash
+    partitioning on ``src_id`` already satisfies the dedup aggregation's
+    clustered distribution on (src_id, dst_id) (every duplicate pair is
+    co-located), so Catalyst plans the dedup partition-local. The naive
+    composition shuffles once for the distinct (keyed on both columns)
+    and AGAIN for the gather key. Same rows, same layout contract as
+    gather_layout (caller owns the cache)."""
+    rev = edges.select(
+        F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
+    )
+    return (
+        edges.select("src_id", "dst_id")
+        .unionByName(rev)
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .repartition(partitions, "src_id")
+        .dropDuplicates(["src_id", "dst_id"])
+        .sortWithinPartitions("src_id")
+        .persist()
+    )
+
+
 def symmetrize(edges: DataFrame) -> DataFrame:
     """Undirected simple graph as directed pairs in both directions
     (input to WCC / LP / TC — SURVEY.md U1)."""

@@ -222,3 +222,26 @@ def test_bucketed_edge_image_cold_gather_no_exchange(spark, wiki_edges_df, tmp_p
         layout.unpersist()
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_symmetrized_gather_layout_single_shuffle(spark, wiki_edges_df):
+    """The fused symmetrize+layout must plan exactly ONE Exchange: the
+    union of both edge directions shuffles straight onto the gather key
+    and the dedup runs partition-local (hash partitioning on src_id
+    satisfies the (src_id, dst_id) dedup distribution). The naive
+    gather_layout(symmetrize(...)) composition pays two."""
+    from linkgraph.build import gather_layout, symmetrize, symmetrized_gather_layout
+
+    fused = symmetrized_gather_layout(wiki_edges_df, 8)
+    naive = gather_layout(symmetrize(wiki_edges_df), 8)
+    try:
+        fplan = fused._jdf.queryExecution().executedPlan().toString()
+        # exactly one HASH exchange (the gather-key shuffle); the fixture's
+        # own round-robin staging exchanges below the union don't count
+        assert fplan.count("Exchange hashpartitioning") == 1, fplan
+        a = sorted((r["src_id"], r["dst_id"]) for r in fused.collect())
+        b = sorted((r["src_id"], r["dst_id"]) for r in naive.collect())
+        assert a == b
+    finally:
+        fused.unpersist()
+        naive.unpersist()
