@@ -20,7 +20,6 @@ every partition (linkgraph/skew.py). V2 ≡ V1 within 1e-12 on fixtures.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 from typing import Any
 
 import numpy as np

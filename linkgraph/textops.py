@@ -21,7 +21,7 @@ bucketing, which is the 10^12-doc path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 JACCARD_THRESHOLD = 0.5
