@@ -731,23 +731,26 @@ def q_graph_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.corr("sdeg", "ddeg"), 6).alias("assortativity"))
     )
 
-    # two-sweep diameter lower bound (undirected)
-    sym = symmetrize(e)
-    src0 = vertex_ids_from_edges(e).agg(F.min("id")).first()[0]
-    first = bfs(spark, sym, sources=[src0])
-    far = (
-        first.state.filter(F.col("dist") >= 0)
-        .orderBy(F.desc("dist"), F.asc("id"))
-        .first()
-    )
-    second = bfs(spark, sym, sources=[int(far["id"])])
-    diam = second.state.filter(F.col("dist") >= 0).agg(
-        F.lit(int(src0)).cast("long").alias("sweep1_src"),
-        F.lit(int(far["id"])).cast("long").alias("sweep2_src"),
-        F.max("dist").cast("long").alias("diameter_lb"),
-    )
-
-    return recip.crossJoin(assort).crossJoin(diam)
+    # two-sweep diameter lower bound (undirected); the symmetrized set is
+    # persisted once so the second sweep's layout builds from cache
+    sym = symmetrize(e).persist()
+    try:
+        src0 = vertex_ids_from_edges(e).agg(F.min("id")).first()[0]
+        first = bfs(spark, sym, sources=[src0])
+        far = (
+            first.state.filter(F.col("dist") >= 0)
+            .orderBy(F.desc("dist"), F.asc("id"))
+            .first()
+        )
+        second = bfs(spark, sym, sources=[int(far["id"])])
+        diam = second.state.filter(F.col("dist") >= 0).agg(
+            F.lit(int(src0)).cast("long").alias("sweep1_src"),
+            F.lit(int(far["id"])).cast("long").alias("sweep2_src"),
+            F.max("dist").cast("long").alias("diameter_lb"),
+        )
+        return recip.crossJoin(assort).crossJoin(diam).localCheckpoint(eager=True)
+    finally:
+        sym.unpersist()
 
 
 _GLOBAL_STATS_SQL = f"""
