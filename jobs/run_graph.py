@@ -92,10 +92,8 @@ def main() -> None:
         )
         out = normalized_scores(res.state)
     elif args.algo == "scc":
-        if args.ckpt or args.resume:
-            raise SystemExit("scc does not support --ckpt/--resume "
-                             "(multi-phase loop; see linkgraph/algos/scc.py)")
-        res = scc(spark, edges, vertices=vertices, partitions=args.partitions)
+        res = scc(spark, edges, vertices=vertices, partitions=args.partitions,
+                  ckpt_dir=args.ckpt, resume=args.resume)
         out = res.state.select("id", "comp")
     elif args.algo == "betweenness":
         if not args.sources:

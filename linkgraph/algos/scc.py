@@ -54,16 +54,24 @@ def scc(
     max_phases: int = 100,
     max_iters: int = 10_000,
     partitions: int | None = None,
+    ckpt_dir: str | None = None,
+    resume: bool = False,
 ) -> RunResult:
     """Run SCC to completion; result state = (id, comp).
 
     ``max_phases`` bounds outer color+backward phases, ``max_iters`` each
     inner fixpoint. Raises if either bound is hit before every vertex is
     assigned (a partial SCC labeling is not a weaker answer — it is wrong).
-    Checkpoint-resume is not wired for the multi-phase loop (the four
-    north-rule programs carry it); each inner fixpoint still truncates
-    lineage via the engine's localCheckpoint.
+
+    Resume is PHASE-level: with ``ckpt_dir`` each completed outer phase
+    durably writes (assigned, remaining) + ``_meta.json``;
+    ``resume=True`` restarts after the latest completed phase (inner
+    fixpoints are cheap relative to phases and re-run). Lineage inside a
+    phase is truncated by the engine's localCheckpoint as usual.
     """
+    import json
+    import os
+
     engine = SuperstepEngine(spark)
     partitions = resolve_partitions(spark, edges, partitions)
     e0 = (
@@ -82,9 +90,37 @@ def scc(
     remaining = ids.localCheckpoint(eager=True)
     total_iters = 0
     metrics: list[dict] = []
+    start_phase = 1
+
+    if resume and ckpt_dir and os.path.isdir(ckpt_dir):
+        done = []
+        for name in os.listdir(ckpt_dir):
+            if name.startswith("scc_phase=") and os.path.exists(
+                os.path.join(ckpt_dir, name, "_meta.json")
+            ):
+                done.append(int(name.split("=")[1]))
+        if done:
+            latest = max(done)
+            base = os.path.join(ckpt_dir, f"scc_phase={latest}")
+            assigned = spark.read.parquet(os.path.join(base, "assigned"))
+            remaining = spark.read.parquet(os.path.join(base, "remaining"))
+            start_phase = latest + 1
+            metrics.append({"phase": latest, "stage": "resumed"})
+
+    def _checkpoint_phase(phase: int) -> tuple[DataFrame, DataFrame]:
+        base = os.path.join(ckpt_dir, f"scc_phase={phase}")
+        assigned.write.mode("overwrite").parquet(os.path.join(base, "assigned"))
+        remaining.write.mode("overwrite").parquet(os.path.join(base, "remaining"))
+        with open(os.path.join(base, "_meta.json"), "w") as f:
+            json.dump({"phase": phase}, f)
+        # re-read: the durable copy replaces the in-memory lineage
+        return (
+            spark.read.parquet(os.path.join(base, "assigned")),
+            spark.read.parquet(os.path.join(base, "remaining")),
+        )
 
     try:
-        for phase in range(1, max_phases + 1):
+        for phase in range(start_phase, max_phases + 1):
             if remaining.isEmpty():
                 break
 
@@ -230,6 +266,8 @@ def scc(
             finally:
                 live_fwd.unpersist()
                 live_rev.unpersist()
+            if ckpt_dir:
+                assigned, remaining = _checkpoint_phase(phase)
 
         if not remaining.isEmpty():
             raise RuntimeError(

@@ -151,3 +151,30 @@ def test_resume_ignores_incomplete_checkpoint(spark, wiki_edges_df, wiki_vertice
     os.makedirs(os.path.join(ckpt, "it=5"))
     latest = eng.latest_checkpoint()
     assert latest is not None and latest[0] == 4
+
+
+def test_scc_phase_resume_matches_uninterrupted(spark, tmp_path):
+    """SCC phase-level resume: a run stopped after phase 1 (max_phases hit
+    -> raise, with the completed phase durably checkpointed) resumes and
+    produces the identical labeling. Graph = two 2-cycles joined by a
+    bridge — phase 1 assigns {0,1}, phase 2 {2,3} (no trims fire)."""
+    import pytest
+
+    from linkgraph.algos import scc
+
+    edges = [(0, 1), (1, 0), (1, 2), (2, 3), (3, 2)]
+    df = spark.createDataFrame(edges, "src_id long, dst_id long")
+    full = scc(spark, df)
+    want = {r["id"]: r["comp"] for r in full.state.collect()}
+    assert want == {0: 0, 1: 0, 2: 2, 3: 2}
+
+    ckpt = str(tmp_path / "scc_ckpt")
+    with pytest.raises(RuntimeError, match="max_phases"):
+        scc(spark, df, max_phases=1, ckpt_dir=ckpt)
+    assert os.path.exists(os.path.join(ckpt, "scc_phase=1", "_meta.json"))
+
+    resumed = scc(spark, df, ckpt_dir=ckpt, resume=True)
+    got = {r["id"]: r["comp"] for r in resumed.state.collect()}
+    assert got == want
+    # and the resume actually skipped phase 1
+    assert any(m.get("stage") == "resumed" for m in resumed.metrics)
