@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     LongType,
     StringType,
@@ -88,3 +89,109 @@ def extract_media_features(
             )
 
     return src.mapInPandas(run, schema=MEDIA_META_SCHEMA)
+
+
+# --------------------------------------------------- resize / frame-sample
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("key", StringType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a pixel resize: tagged header + payload
+    digest, so tests can assert the batch shape, parameter plumbing and
+    determinism without an image library. Swap for PIL's
+    ``Image.resize((width, height))`` on a real cluster — the surrounding
+    mapInPandas shape is exactly what the real kernel runs in."""
+    head = b"RSZv1|%d|%d|" % (width, height)
+    return head + hashlib.sha256(payload or b"").digest()[:16]
+
+
+def resize_media(
+    df: DataFrame, key_col: str, payload_col: str, width: int, height: int
+) -> DataFrame:
+    """binary -> binary resize plumbing: (key, width, height, payload).
+
+    Arrow-batched mapInPandas, one pass per batch; the pixel kernel
+    (``fake_resize``) is the pluggable part — the schema, the parameter
+    closure, and the batch shape are the production surface."""
+    src = df.select(
+        F.col(key_col).cast("string").alias("key"), F.col(payload_col).alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "key": pdf["key"],
+                    "width": np.int64(width),
+                    "height": np.int64(height),
+                    "payload": pdf["payload"].map(lambda b: fake_resize(b, width, height)),
+                }
+            )
+
+    return src.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("key", StringType(), False),
+        StructField("frame_no", LongType(), False),
+        StructField("ts_ms", LongType(), False),
+        StructField("frame", BinaryType(), False),
+    ]
+)
+
+FRAME_BYTES = 64  # fake "frame" chunk size
+FRAME_INTERVAL_MS = 1000
+
+
+def fake_frame_iter(payload: bytes, every_n: int):
+    """Deterministic frame sampler stand-in: treat the payload as a stream
+    of FRAME_BYTES chunks ("frames") and keep every ``every_n``-th. A real
+    cluster swaps this for pyav/ffmpeg keyframe extraction; the fan-out
+    row shape below is unchanged."""
+    payload = payload or b""
+    total = max(1, (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES)
+    for i in range(0, total, every_n):
+        chunk = payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+        yield i, i * FRAME_INTERVAL_MS, chunk
+
+
+def sample_video_frames(
+    df: DataFrame, key_col: str, payload_col: str, every_n: int = 2
+) -> DataFrame:
+    """Frame-sampling plumbing: ONE input row fans out to MANY frame rows
+    (key, frame_no, ts_ms, frame) — the shape a video pipeline needs
+    (mapInPandas may emit any number of output rows per input batch, which
+    is exactly the property this exercises). Partition-parallel: each
+    video's frames are produced where its payload row lives; no shuffle."""
+    src = df.select(
+        F.col(key_col).cast("string").alias("key"), F.col(payload_col).alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, nos, tss, frames = [], [], [], []
+            for key, payload in zip(pdf["key"], pdf["payload"]):
+                for no, ts, chunk in fake_frame_iter(payload, every_n):
+                    keys.append(key)
+                    nos.append(no)
+                    tss.append(ts)
+                    frames.append(chunk)
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series(keys, dtype="string"),
+                    "frame_no": pd.Series(nos, dtype="int64"),
+                    "ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame": pd.Series(frames, dtype=object),
+                }
+            )
+
+    return src.mapInPandas(run, schema=FRAME_SCHEMA)

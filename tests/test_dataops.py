@@ -252,3 +252,52 @@ def test_scrub_text_and_pii_counts(spark):
         assert leftover["e"] == 0 and leftover["u"] == 0, r["clean"]
     assert out[2]["clean"] == "no pii here, just words"
     assert "<EMAIL>" in out[0]["clean"] and "<URL>" in out[0]["clean"]
+
+
+def test_multimodal_resize_and_frame_sampling_plumbing(spark):
+    """C14 resize + frame-sample surfaces: Arrow batch shapes, parameter
+    closures, one-to-many fan-out, determinism, and layout independence
+    (repartitioning must not change the sampled rows)."""
+    from linkgraph.multimodal import (
+        FRAME_BYTES,
+        fake_frame_iter,
+        fake_resize,
+        resize_media,
+        sample_video_frames,
+    )
+    from linkgraph.synth import gen_pages
+
+    # one row per url: the generator emits re-crawl duplicates by design
+    pages = gen_pages(spark, 40).dropDuplicates(["url"])
+    n = pages.count()
+
+    resized = resize_media(pages, key_col="url", payload_col="html", width=64, height=32)
+    rows = resized.collect()
+    assert len(rows) == n
+    assert all(r["width"] == 64 and r["height"] == 32 for r in rows)
+    assert all(bytes(r["payload"]).startswith(b"RSZv1|64|32|") for r in rows)
+    # deterministic: same payload -> same resized bytes
+    one = pages.limit(1).collect()[0]
+    assert bytes(
+        resize_media(pages.limit(1), "url", "html", 64, 32).first()["payload"]
+    ) == fake_resize(bytes(one["html"]), 64, 32)
+
+    frames = sample_video_frames(pages, key_col="url", payload_col="html", every_n=2)
+    got = frames.collect()
+    # every input produced >= 1 frame, with the expected stride and count
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r["key"], []).append((r["frame_no"], r["ts_ms"], bytes(r["frame"])))
+    assert len(by_key) == n
+    for r0 in pages.select("url", "html").collect():
+        want = list(fake_frame_iter(bytes(r0["html"]), 2))
+        have = sorted(by_key[r0["url"]])
+        assert [(n, t) for n, t, _ in want] == [(n, t) for n, t, _ in have]
+        assert all(len(f) <= FRAME_BYTES for _, _, f in have)
+    # layout independence: a different partitioning samples identical rows
+    reparted = sample_video_frames(
+        pages.repartition(7), key_col="url", payload_col="html", every_n=2
+    )
+    a = sorted((r["key"], r["frame_no"], bytes(r["frame"])) for r in got)
+    b = sorted((r["key"], r["frame_no"], bytes(r["frame"])) for r in reparted.collect())
+    assert a == b
