@@ -64,13 +64,26 @@ def scc(
     assigned (a partial SCC labeling is not a weaker answer — it is wrong).
 
     Resume is PHASE-level: with ``ckpt_dir`` each completed outer phase
-    durably writes (assigned, remaining) + ``_meta.json``;
-    ``resume=True`` restarts after the latest completed phase (inner
-    fixpoints are cheap relative to phases and re-run). Lineage inside a
-    phase is truncated by the engine's localCheckpoint as usual.
+    durably writes (assigned, remaining) + ``_meta.json`` carrying a
+    fingerprint of the input edge set; ``resume=True`` restarts after the
+    latest completed phase — and REFUSES a checkpoint whose fingerprint
+    does not match the current graph (a stale checkpoint from another
+    run would silently mix two graphs' labelings). A fresh run
+    (``resume=False``) purges any prior ``scc_phase=*`` state first. All
+    checkpoint IO goes through the Hadoop FileSystem, so ``ckpt_dir``
+    may live on cluster shared storage. Lineage inside a phase is
+    truncated by the engine's localCheckpoint as usual.
     """
     import json
     import os
+
+    from linkgraph.engine import (
+        fs_delete,
+        fs_exists,
+        fs_list_names,
+        fs_read_text,
+        fs_write_text,
+    )
 
     engine = SuperstepEngine(spark)
     partitions = resolve_partitions(spark, edges, partitions)
@@ -92,16 +105,41 @@ def scc(
     metrics: list[dict] = []
     start_phase = 1
 
-    if resume and ckpt_dir and os.path.isdir(ckpt_dir):
+    fingerprint = None
+    if ckpt_dir:
+        # one O(E) action: the input's identity, stored with every phase
+        row = e0.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("src_id", "dst_id").cast("decimal(38,0)"))
+            .cast("string")
+            .alias("chk"),
+        ).first()
+        fingerprint = {"n_edges": row["n"], "checksum": row["chk"]}
+
+    if ckpt_dir and not resume:
+        # fresh run: leftover phases from a previous run (same dir,
+        # possibly a DIFFERENT graph) must not survive to be resumed later
+        for name in fs_list_names(spark, ckpt_dir):
+            if name.startswith("scc_phase="):
+                fs_delete(spark, os.path.join(ckpt_dir, name))
+
+    if resume and ckpt_dir:
         done = []
-        for name in os.listdir(ckpt_dir):
-            if name.startswith("scc_phase=") and os.path.exists(
-                os.path.join(ckpt_dir, name, "_meta.json")
+        for name in fs_list_names(spark, ckpt_dir):
+            if name.startswith("scc_phase=") and fs_exists(
+                spark, os.path.join(ckpt_dir, name, "_meta.json")
             ):
                 done.append(int(name.split("=")[1]))
         if done:
             latest = max(done)
             base = os.path.join(ckpt_dir, f"scc_phase={latest}")
+            meta = json.loads(fs_read_text(spark, os.path.join(base, "_meta.json")))
+            if meta.get("fingerprint") != fingerprint:
+                raise RuntimeError(
+                    f"scc resume refused: checkpoint at {base} was written "
+                    f"for a different edge set ({meta.get('fingerprint')} "
+                    f"!= {fingerprint})"
+                )
             assigned = spark.read.parquet(os.path.join(base, "assigned"))
             remaining = spark.read.parquet(os.path.join(base, "remaining"))
             start_phase = latest + 1
@@ -111,8 +149,11 @@ def scc(
         base = os.path.join(ckpt_dir, f"scc_phase={phase}")
         assigned.write.mode("overwrite").parquet(os.path.join(base, "assigned"))
         remaining.write.mode("overwrite").parquet(os.path.join(base, "remaining"))
-        with open(os.path.join(base, "_meta.json"), "w") as f:
-            json.dump({"phase": phase}, f)
+        fs_write_text(
+            spark,
+            os.path.join(base, "_meta.json"),
+            json.dumps({"phase": phase, "fingerprint": fingerprint}),
+        )
         # re-read: the durable copy replaces the in-memory lineage
         return (
             spark.read.parquet(os.path.join(base, "assigned")),

@@ -86,7 +86,12 @@ def triangle_counts(
     out = ids.join(counts, "id", "left").select(
         "id", F.coalesce("tri", F.lit(0)).cast("long").alias("tri")
     )
+    # materialize while the caches are live, THEN release them — an
+    # unpersist before the caller's first action would silently disable
+    # the cache and recompute the dedup'd edge set per plan reference
+    out = out.localCheckpoint(eager=True)
     und.unpersist()
+    oriented.unpersist()
     return out
 
 
@@ -148,5 +153,7 @@ def cycle_triangle_counts(
     out = ids.join(counts, "id", "left").select(
         "id", F.coalesce("ctri", F.lit(0)).cast("long").alias("ctri")
     )
+    # materialize while the cache is live, THEN release (see triangle_counts)
+    out = out.localCheckpoint(eager=True)
     e.unpersist()
     return out

@@ -37,9 +37,12 @@ class Graph:
 def latest_snapshot(pages: DataFrame) -> DataFrame:
     """Latest crawl per url (W1: row_number over warc_ts desc).
 
-    Ties on (url, warc_ts) are broken by html bytes to stay deterministic.
+    Ties on (url, warc_ts) are broken by md5(html) DESC — a deterministic
+    key the streaming ingest log can carry verbatim (``crawl_fp``), so the
+    batch pipeline and ``streaming.current_edge_pairs`` resolve the same
+    crawl on a timestamp collision.
     """
-    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"), F.desc("html"))
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"), F.desc(F.md5("html")))
     return (
         pages.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -40,6 +40,56 @@ StepFn = Callable[[DataFrame, int], DataFrame]
 StopFn = Callable[[DataFrame, int], tuple[bool, dict]]
 
 
+# ---------------------------------------------------------------- fs helpers
+#
+# Checkpoint METADATA must live beside the checkpoint parquet — which on a
+# cluster is shared storage (hdfs:// s3a:// ...), where the driver's local
+# open()/os.listdir() silently miss or fail. These helpers route the tiny
+# metadata IO through the same Hadoop FileSystem Spark writes the parquet
+# with; for plain local paths they resolve to the local fs transparently.
+
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def fs_write_text(spark: SparkSession, path_str: str, text: str) -> None:
+    fs, p = _hadoop_fs(spark, path_str)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def fs_read_text(spark: SparkSession, path_str: str) -> str:
+    fs, p = _hadoop_fs(spark, path_str)
+    stream = fs.open(p)
+    jvm = spark._jvm
+    bos = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, bos, 4096, True)
+    return bytes(bos.toByteArray()).decode("utf-8")
+
+
+def fs_exists(spark: SparkSession, path_str: str) -> bool:
+    fs, p = _hadoop_fs(spark, path_str)
+    return bool(fs.exists(p))
+
+
+def fs_list_names(spark: SparkSession, dir_str: str) -> list[str]:
+    fs, p = _hadoop_fs(spark, dir_str)
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def fs_delete(spark: SparkSession, path_str: str) -> None:
+    fs, p = _hadoop_fs(spark, path_str)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
 def make_changed_stop(metric_key: str = "changed", stop_on_zero: bool = True) -> StopFn:
     """The standard frontier stop/telemetry function: sum the boolean
     ``changed`` column of the new state, log it under ``metric_key``, and
@@ -120,20 +170,21 @@ class SuperstepEngine:
             "partitions": _partition_lineage(reread) if self.lineage_in_meta else [],
         }
         meta["rows"] = sum(p["rows"] for p in meta["partitions"]) if meta["partitions"] else None
-        with open(os.path.join(path, "_meta.json"), "w") as f:
-            json.dump(meta, f)
+        # through the Hadoop FS: _meta.json sits beside the parquet, which
+        # on a cluster is shared storage where driver-local open() fails
+        fs_write_text(self.spark, os.path.join(path, "_meta.json"), json.dumps(meta))
         return reread
 
     def latest_checkpoint(self) -> tuple[int, str] | None:
-        if not self.ckpt_dir or not os.path.isdir(self.ckpt_dir):
+        if not self.ckpt_dir:
             return None
         best: tuple[int, str] | None = None
-        for name in os.listdir(self.ckpt_dir):
+        for name in fs_list_names(self.spark, self.ckpt_dir):
             m = re.fullmatch(r"it=(\d+)", name)
             if not m:
                 continue
             path = os.path.join(self.ckpt_dir, name)
-            if not os.path.exists(os.path.join(path, "_meta.json")):
+            if not fs_exists(self.spark, os.path.join(path, "_meta.json")):
                 continue  # incomplete checkpoint (e.g. killed mid-write)
             it = int(m.group(1))
             if best is None or it > best[0]:
@@ -141,10 +192,15 @@ class SuperstepEngine:
         return best
 
     def _log_metrics(self, record: dict) -> None:
-        if self.metrics_path:
-            os.makedirs(os.path.dirname(self.metrics_path), exist_ok=True)
-            with open(self.metrics_path, "a") as f:
-                f.write(json.dumps(record) + "\n")
+        if not self.metrics_path:
+            return
+        if "://" in self.metrics_path:
+            # append-mode JSONL is driver-local telemetry; object stores /
+            # HDFS don't append — metrics stay available on RunResult
+            return
+        os.makedirs(os.path.dirname(self.metrics_path), exist_ok=True)
+        with open(self.metrics_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
 
     # ------------------------------------------------------------------- run
 

@@ -290,6 +290,9 @@ def extract_pairs_stream(pages: DataFrame) -> DataFrame:
     return pages.select(
         F.col("url").alias("src_url"),
         "warc_ts",
+        # the same tie-break key latest_snapshot uses: on a (url, warc_ts)
+        # collision both paths resolve to the md5-max crawl
+        F.md5("html").alias("crawl_fp"),
         F.explode_outer(extract_links_udf(F.col("html"), F.col("url"))).alias("dst_url"),
     )
 
@@ -301,9 +304,19 @@ def current_edge_pairs(pairs: DataFrame) -> DataFrame:
     for an Iceberg ``MERGE INTO``; ingest contract: (url, warc_ts) unique,
     which real crawl ids satisfy). Distinct (src_url, dst_url) output
     feeds the same url-dictionary + edge build as the batch path."""
-    latest = pairs.groupBy("src_url").agg(F.max("warc_ts").alias("warc_ts"))
+    # winner per src_url: max (warc_ts, crawl_fp) — crawl_fp breaks
+    # timestamp ties exactly as latest_snapshot does batch-side, so the
+    # two ingest paths never diverge on a (url, warc_ts) collision
+    latest = pairs.groupBy("src_url").agg(
+        F.max(F.struct("warc_ts", "crawl_fp")).alias("w")
+    )
+    winner = latest.select(
+        "src_url",
+        F.col("w.warc_ts").alias("warc_ts"),
+        F.col("w.crawl_fp").alias("crawl_fp"),
+    )
     return (
-        pairs.join(latest, ["src_url", "warc_ts"], "left_semi")
+        pairs.join(winner, ["src_url", "warc_ts", "crawl_fp"], "left_semi")
         # drop zero-link tombstones AFTER the latest-crawl restriction:
         # the tombstone's warc_ts must win the max() so the dead page's
         # older edges vanish, but it contributes no edge itself
@@ -342,12 +355,17 @@ def run_edge_ingest_once(
         [
             StructField("src_url", StringType(), True),
             StructField("warc_ts", TimestampType(), True),
+            StructField("crawl_fp", StringType(), True),
             StructField("dst_url", StringType(), True),
         ]
     )
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.schema(log_schema).parquet(out_dir)
-    except Exception:
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise  # real read failures must propagate, not become an empty log
         # first poll before any pages landed: the sink never created
         # out_dir — an empty log, not an error (the caller loops)
         return spark.createDataFrame([], log_schema)

@@ -424,8 +424,11 @@ DOC_SIMHASH_NEAR_DUPS_SQL = _simhash_near_dups_sql()
 
 # PII patterns, restricted to syntax Java regex (Spark) and RE2 (DuckDB)
 # both accept (no lookaround): the standard pretraining scrub targets.
-PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
-PII_URL_RE = r"https?://[^\s]+"
+# (?i) inline flag: case-insensitive in BOTH Java regex and RE2 — the
+# scrub runs on the ORIGINAL text (you redact what you keep), which is
+# not lowercased like the metrics input
+PII_EMAIL_RE = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_URL_RE = r"(?i)https?://[^\s]+"
 
 
 def scrub_text(col):

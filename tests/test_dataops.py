@@ -235,15 +235,18 @@ def test_scrub_text_and_pii_counts(spark):
         ("two mails: a.b+c@x-y.org and d@e.io plus http://t.co/x",),
         ("no pii here, just words",),
         ("",),
+        # mixed/upper case: the scrub runs on ORIGINAL text (you redact
+        # what you keep), so the patterns must be case-insensitive
+        ("Mail Bob@EXAMPLE.COM or see HTTPS://X.CO/Secret",),
     ]
     df = spark.createDataFrame(rows, "text string")
     out = df.select(
-        scrub_text(F.lower(F.col("text"))).alias("clean"),
+        scrub_text(F.col("text")).alias("clean"),
         F.size(F.regexp_extract_all(F.lower("text"), F.lit(PII_EMAIL_RE), F.lit(0))).alias("n_emails"),
         F.size(F.regexp_extract_all(F.lower("text"), F.lit(PII_URL_RE), F.lit(0))).alias("n_urls"),
     ).collect()
-    assert [r["n_emails"] for r in out] == [1, 2, 0, 0]
-    assert [r["n_urls"] for r in out] == [1, 1, 0, 0]
+    assert [r["n_emails"] for r in out] == [1, 2, 0, 0, 1]
+    assert [r["n_urls"] for r in out] == [1, 1, 0, 0, 1]
     for r in out:
         leftover = df.sparkSession.createDataFrame([(r["clean"],)], "text string").select(
             F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL_RE), F.lit(0))).alias("e"),

@@ -178,3 +178,11 @@ def test_scc_phase_resume_matches_uninterrupted(spark, tmp_path):
     assert got == want
     # and the resume actually skipped phase 1
     assert any(m.get("stage") == "resumed" for m in resumed.metrics)
+
+    # a DIFFERENT graph must refuse the stale checkpoint (fingerprint)
+    other = spark.createDataFrame([(7, 8), (8, 7)], "src_id long, dst_id long")
+    with pytest.raises(RuntimeError, match="different edge set"):
+        scc(spark, other, ckpt_dir=ckpt, resume=True)
+    # and a FRESH run with the same dir purges old phases, then completes
+    fresh = scc(spark, other, ckpt_dir=ckpt)
+    assert {r["id"]: r["comp"] for r in fresh.state.collect()} == {7: 7, 8: 7}

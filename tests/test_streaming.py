@@ -167,6 +167,38 @@ def test_incremental_edge_ingest_matches_batch_build(spark, tmp_path):
     assert got3 == {p for p in got if p[0] != dead_url}
 
 
+def test_edge_ingest_timestamp_tie_matches_batch(spark, tmp_path):
+    """Two crawls of one url with the SAME warc_ts: both paths must pick
+    the same winner (md5(html) DESC — latest_snapshot batch-side, the
+    crawl_fp carried in the log stream-side)."""
+    import datetime
+
+    from linkgraph.build import extract_link_pairs, latest_snapshot
+    from linkgraph.streaming import current_edge_pairs, run_edge_ingest_once
+
+    ts = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    u = "https://tie.example.com/"
+    mk = lambda target: f'<html><body><a href="{target}">x</a></body></html>'.encode()
+    crawl_a = (u, ts, mk("https://a.example.com/"), "", "en")
+    crawl_b = (u, ts, mk("https://b.example.com/"), "", "en")
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+    stage = str(tmp_path / "tie_pages")
+    spark.createDataFrame([crawl_a], schema).coalesce(1).write.mode("overwrite").parquet(stage)
+    spark.createDataFrame([crawl_b], schema).coalesce(1).write.mode("append").parquet(stage)
+    log = run_edge_ingest_once(
+        spark, stage, str(tmp_path / "tie_pairs"), str(tmp_path / "tie_ckpt")
+    )
+    got = {(r["src_url"], r["dst_url"]) for r in current_edge_pairs(log).collect()}
+
+    both = spark.createDataFrame([crawl_a, crawl_b], schema)
+    want = {
+        (r["src_url"], r["dst_url"])
+        for r in extract_link_pairs(latest_snapshot(both)).distinct().collect()
+    }
+    assert got == want and len(got) == 1
+
+
 def test_edge_ingest_empty_first_poll_returns_empty_log(spark, tmp_path):
     """The ingest poll loop may fire before the crawler lands any file —
     that is an empty pair log, not a PATH_NOT_FOUND crash."""
@@ -180,4 +212,6 @@ def test_edge_ingest_empty_first_poll_returns_empty_log(spark, tmp_path):
         spark, stage, str(tmp_path / "pairs_empty"), str(tmp_path / "ckpt_empty")
     )
     assert log.count() == 0
-    assert [f.name for f in log.schema.fields] == ["src_url", "warc_ts", "dst_url"]
+    assert [f.name for f in log.schema.fields] == [
+        "src_url", "warc_ts", "crawl_fp", "dst_url",
+    ]
