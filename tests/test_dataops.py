@@ -247,12 +247,13 @@ def test_scrub_text_and_pii_counts(spark):
     ).collect()
     assert [r["n_emails"] for r in out] == [1, 2, 0, 0, 1]
     assert [r["n_urls"] for r in out] == [1, 1, 0, 0, 1]
-    for r in out:
-        leftover = df.sparkSession.createDataFrame([(r["clean"],)], "text string").select(
-            F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL_RE), F.lit(0))).alias("e"),
-            F.size(F.regexp_extract_all("text", F.lit(PII_URL_RE), F.lit(0))).alias("u"),
-        ).first()
-        assert leftover["e"] == 0 and leftover["u"] == 0, r["clean"]
+    leftover = df.sparkSession.createDataFrame(
+        [(r["clean"],) for r in out], "text string"
+    ).select(
+        F.sum(F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL_RE), F.lit(0)))).alias("e"),
+        F.sum(F.size(F.regexp_extract_all("text", F.lit(PII_URL_RE), F.lit(0)))).alias("u"),
+    ).first()
+    assert leftover["e"] == 0 and leftover["u"] == 0, [r["clean"] for r in out]
     assert out[2]["clean"] == "no pii here, just words"
     assert "<EMAIL>" in out[0]["clean"] and "<URL>" in out[0]["clean"]
 
