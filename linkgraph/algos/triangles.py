@@ -39,8 +39,15 @@ def triangle_counts(
     edges: DataFrame,
     vertices: DataFrame | None = None,
 ) -> DataFrame:
-    """Per-vertex triangle counts; returns DataFrame(id, tri)."""
-    und = _canonical_undirected(edges).persist()
+    """Per-vertex triangle counts; returns DataFrame(id, tri).
+
+    Deliberately UNCACHED: the multiply-referenced subtrees (und,
+    oriented) end in shuffles, and Spark's ReusedExchange dedups
+    identical exchange subtrees at execution — so nothing is recomputed
+    per reference, while persisting these intermediates measured ~8x
+    slower (forced materialization + InMemoryRelation scan overhead in
+    place of a streamed exchange reuse)."""
+    und = _canonical_undirected(edges)
 
     # undirected degree, then the total order key (deg, id) as a STRUCT —
     # Spark orders structs lexicographically, so comparisons are exact for
@@ -65,7 +72,6 @@ def triangle_counts(
             F.least("key_a", "key_b").alias("key_lo"),
             F.greatest("key_a", "key_b").alias("key_hi"),
         )
-        .persist()
     )
 
     e1 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"), F.col("key_hi").alias("kv"))
@@ -83,16 +89,9 @@ def triangle_counts(
     counts = tri_vertices.groupBy("id").agg(F.count(F.lit(1)).alias("tri"))
 
     ids = vertices.select("id") if vertices is not None else vertex_ids_from_edges(edges)
-    out = ids.join(counts, "id", "left").select(
+    return ids.join(counts, "id", "left").select(
         "id", F.coalesce("tri", F.lit(0)).cast("long").alias("tri")
     )
-    # materialize while the caches are live, THEN release them — an
-    # unpersist before the caller's first action would silently disable
-    # the cache and recompute the dedup'd edge set per plan reference
-    out = out.localCheckpoint(eager=True)
-    und.unpersist()
-    oriented.unpersist()
-    return out
 
 
 def cycle_triangle_counts(
@@ -111,11 +110,12 @@ def cycle_triangle_counts(
     degree-min anchoring is the same hub-safety argument as the
     undirected orientation — a hub generates wedges only toward its few
     higher-degree neighbors, never out-deg × in-deg."""
+    # uncached like triangle_counts: ReusedExchange dedups the shared
+    # shuffle subtrees; persisting measured far slower
     e = (
         edges.select("src_id", "dst_id")
         .filter(F.col("src_id") != F.col("dst_id"))
         .distinct()
-        .persist()
     )
     # total undirected degree orders the anchoring (hub-safety); ties by id
     deg = (
@@ -150,10 +150,6 @@ def cycle_triangle_counts(
     )
     counts = members.groupBy("id").agg(F.count(F.lit(1)).alias("ctri"))
     ids = vertices.select("id") if vertices is not None else vertex_ids_from_edges(edges)
-    out = ids.join(counts, "id", "left").select(
+    return ids.join(counts, "id", "left").select(
         "id", F.coalesce("ctri", F.lit(0)).cast("long").alias("ctri")
     )
-    # materialize while the cache is live, THEN release (see triangle_counts)
-    out = out.localCheckpoint(eager=True)
-    e.unpersist()
-    return out
