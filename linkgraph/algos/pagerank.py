@@ -20,6 +20,7 @@ every partition (linkgraph/skew.py). V2 ≡ V1 within 1e-12 on fixtures.
 
 from __future__ import annotations
 
+import json
 from typing import Any
 
 import numpy as np
@@ -123,6 +124,7 @@ def pagerank(
     reuse_layout: bool = False,
     personalized: list[int] | None = None,
     weight_col: str | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> RunResult:
     """Run PageRank to convergence; result state = (id, rank, out_deg, prev_rank).
 
@@ -142,9 +144,17 @@ def pagerank(
     reuse_layout (sem kernel): if ``layout_dir`` already holds a sem edge
     image, skip rewriting it — the FlashGraph pattern of building the
     graph image once (el2fg) and running many algorithms against it.
-    ONLY valid when edges, ``partitions`` and ``hub_threshold`` are
+    Valid only when edges, ``partitions`` and ``hub_threshold`` are
     identical to the run that wrote the layout (routing is a pure
-    function of those three; a mismatch silently mis-routes state).
+    function of those three); each image carries a fingerprint manifest
+    and a mismatched reuse raises instead of mis-routing state.
+
+    init_ranks: optional (id, rank) DataFrame to warm-start from — e.g.
+    the previous run's result after the streaming ingest updated the edge
+    table (the standard incremental-crawl win: the fixpoint is unique for
+    fixed (graph, d), so a warm start changes iterations-to-converge,
+    never the converged answer). Ids absent from ``init_ranks`` (newly
+    crawled pages) fall back to the cold-start teleport value.
     """
     engine = engine or SuperstepEngine(spark)
     partitions = resolve_partitions(spark, edges, partitions)
@@ -159,9 +169,13 @@ def pagerank(
     # across SSDs while vertex state moves (FAST'15 §3.6).
     cols = ("src_id", "dst_id") if weight_col is None else ("src_id", "dst_id", weight_col)
     edges = gather_layout(edges, partitions, cols=cols)
-    state0 = _initial_state(edges, vertices, damping, personalized, weight_col).withColumn(
-        "prev_rank", F.lit(0.0)
-    )
+    state0 = _initial_state(edges, vertices, damping, personalized, weight_col)
+    if init_ranks is not None:
+        seed = init_ranks.select("id", F.col("rank").alias("__seed"))
+        state0 = state0.join(seed, "id", "left").select(
+            "id", F.coalesce("__seed", "rank").alias("rank"), "out_deg"
+        )
+    state0 = state0.withColumn("prev_rank", F.lit(0.0))
 
     tmp_layout = None
     hot = None
@@ -536,14 +550,47 @@ def _make_sem_step(
     # through Spark (NOT the driver's local filesystem — layout_dir on a
     # cluster is hdfs://s3:// shared storage, where os.path.isdir is
     # always False and would silently rewrite the image every run).
+    # Layout manifest: routing is a pure function of (edges, partitions,
+    # hub_threshold) — a layout written under ANY other triple silently
+    # mis-routes vertex state. The fingerprint (one agg over the already-
+    # persisted edge cache) is written beside the image and VALIDATED on
+    # reuse, raising on mismatch — the same refuse-don't-guess safeguard
+    # as scc's checkpoint fingerprint. "_"-prefixed files are invisible to
+    # Spark's parquet reader, so the manifest can live inside layout_dir.
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("src_id", "dst_id").cast("decimal(38,0)"))
+        .cast("string")
+        .alias("checksum"),
+    ).first()
+    fingerprint = {
+        "partitions": int(partitions),
+        "hub_threshold": int(hub_threshold),
+        "edges": int(row["n"]),
+        "checksum": row["checksum"],
+    }
+    manifest_path = f"{layout_dir}/_lg_layout_meta.json"
     have_layout = False
     if reuse_layout:
-        try:
-            have_layout = bool(
-                spark.read.parquet(layout_dir).select("part").head(1)
-            )
-        except Exception:
-            have_layout = False  # missing/empty/unreadable -> (re)write
+        from linkgraph.engine import fs_exists, fs_read_text
+
+        if fs_exists(spark, manifest_path):
+            existing = json.loads(fs_read_text(spark, manifest_path))
+            if existing != fingerprint:
+                raise ValueError(
+                    f"sem layout at {layout_dir!r} was written for a different "
+                    f"(edges, partitions, hub_threshold): manifest {existing} "
+                    f"!= current {fingerprint}; reusing it would mis-route "
+                    f"vertex state — pass the matching inputs or a fresh "
+                    f"layout_dir"
+                )
+            try:
+                have_layout = bool(
+                    spark.read.parquet(layout_dir).select("part").head(1)
+                )
+            except Exception:
+                have_layout = False  # manifest without data -> (re)write
+        # no manifest (pre-manifest or partial layout) -> (re)write
     if not have_layout:
         (
             edges_parts.repartition(partitions, "part")
@@ -552,6 +599,9 @@ def _make_sem_step(
             .partitionBy("part")
             .parquet(layout_dir)
         )
+        from linkgraph.engine import fs_write_text
+
+        fs_write_text(spark, manifest_path, json.dumps(fingerprint))
     # layout-time manifest: which blocks actually hold edges (≤ `partitions`
     # rows — bounded driver-side metadata, like engine lineage)
     edge_parts = frozenset(

@@ -62,7 +62,11 @@ def wcc(
         hot = (
             sym.groupBy("dst_id")
             .agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") > (hub_threshold or HUB_OUTDEG_THRESHOLD))
+            .filter(
+                # explicit 0 means "salt every key" — `or` would discard it
+                F.col("d")
+                > (HUB_OUTDEG_THRESHOLD if hub_threshold is None else hub_threshold)
+            )
             .select("dst_id")
             .persist()
         )

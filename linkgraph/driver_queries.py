@@ -565,6 +565,81 @@ FROM verts v
 LEFT JOIN (SELECT id, MIN(dist) AS dist FROM walk GROUP BY id) m ON m.id = v.id
 """
 
+N_BC_PIVOTS = 4  # fixed pivot count: the N_BC_PIVOTS smallest vertex ids
+BC_ORACLE_DEPTH = 8  # unrolled BFS levels; measured eccentricity ≤4 at sf≤0.01
+
+
+def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched-pivot Brandes betweenness (A10) from the N_BC_PIVOTS
+    smallest vertex ids — the sampled-estimator form that is the only
+    tractable one at web scale. Oracle: the SAME pivoted Brandes unrolled
+    as a capped-depth CTE chain (forward BFS levels carrying sigma, then
+    per-level backward dependency accumulation)."""
+    from linkgraph.algos.betweenness import betweenness
+
+    e = lineitem_edges(spark, sf_dir)
+    piv = [
+        r["id"]
+        for r in vertex_ids_from_edges(e).orderBy("id").limit(N_BC_PIVOTS).collect()
+    ]
+    res = betweenness(spark, e, pivots=piv)
+    return res.state.select("id", F.round("bc", 6).alias("bc"))
+
+
+def _betweenness_sql(n_pivots: int, max_depth: int) -> str:
+    """Unrolled Brandes: forward BFS levels l0..lL with shortest-path
+    counts (sigma final at discovery — level-synchronous BFS reaches all
+    predecessors together), then backward sweep tL..t0 accumulating
+    delta(v) = sigma_v * Σ_{v→w, dist(w)=dist(v)+1} (1+delta_w)/sigma_w.
+    NB: ``pivot`` is a DuckDB reserved word — the column is ``pv``."""
+    ctes = [
+        _EDGES_SQL,
+        _VERTS_SQL,
+        f"piv AS (SELECT id AS pv FROM verts ORDER BY id LIMIT {n_pivots})",
+        "l0 AS MATERIALIZED (SELECT pv, pv AS id, 0 AS dist, CAST(1 AS DOUBLE) AS sigma FROM piv)",
+        "v0 AS MATERIALIZED (SELECT * FROM l0)",
+    ]
+    for k in range(1, max_depth + 1):
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+    SELECT f.pv, e.dst_id AS id, {k} AS dist, SUM(f.sigma) AS sigma
+    FROM l{k - 1} f JOIN edges e ON e.src_id = f.id
+    WHERE NOT EXISTS (SELECT 1 FROM v{k - 1} v WHERE v.pv = f.pv AND v.id = e.dst_id)
+    GROUP BY f.pv, e.dst_id
+)"""
+        )
+        ctes.append(
+            f"v{k} AS MATERIALIZED (SELECT * FROM v{k - 1} UNION ALL SELECT * FROM l{k})"
+        )
+    ctes.append(
+        f"t{max_depth} AS MATERIALIZED "
+        f"(SELECT pv, id, dist, sigma, CAST(0 AS DOUBLE) AS delta FROM v{max_depth})"
+    )
+    for d in range(max_depth, 0, -1):
+        ctes.append(
+            f"""t{d - 1} AS MATERIALIZED (
+    SELECT p.pv, p.id, p.dist, p.sigma,
+           CASE WHEN p.dist = {d - 1} THEN COALESCE(p.sigma * s.terms, 0.0)
+                ELSE p.delta END AS delta
+    FROM t{d} p LEFT JOIN (
+        SELECT w.pv, e.src_id AS id, SUM((1.0 + w.delta) / w.sigma) AS terms
+        FROM t{d} w JOIN edges e ON e.dst_id = w.id
+        WHERE w.dist = {d}
+        GROUP BY w.pv, e.src_id
+    ) s ON s.pv = p.pv AND s.id = p.id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+SELECT v.id, ROUND(COALESCE(b.bc, 0.0), 6) AS bc
+FROM verts v LEFT JOIN (
+    SELECT id, SUM(delta) AS bc FROM t0 WHERE id <> pv GROUP BY id
+) b ON b.id = v.id
+"""
+    )
+
+
 def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge reciprocity: fraction of directed edges whose reverse edge also
     exists (mutual-link rate of the web graph). Computed with a self
@@ -1344,28 +1419,35 @@ FROM customer
 """
 
 
-def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G3 approx_count_distinct — rows-only (HLL implementations differ
-    between engines by design); exact countDistinct is the oracle-checked
-    twin below."""
-    o = _t(spark, sf_dir, "orders")
-    return o.agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
 def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 exact + approximate count-distinct, merged into one scan (the
+    set_ops pattern — one registry slot). The HLL sketch value itself is
+    engine-specific, so what the oracle checks is the exact counts plus
+    ``approx_ok``: Spark's deterministic HLL estimate landing within its
+    configured 5% relative error of the exact count (the oracle side
+    asserts TRUE — the property, not the sketch)."""
     o = _t(spark, sf_dir, "orders")
     return o.agg(
         F.countDistinct("o_custkey").alias("customers"),
         F.countDistinct("o_orderstatus").alias("statuses"),
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.abs(
+                # rsd=0.02: the default 0.05 sketch lands ~7% off at this
+                # cardinality — the bound is 2.5x the configured rsd
+                F.approx_count_distinct("o_custkey", 0.02)
+                - F.countDistinct("o_custkey")
+            )
+            <= 0.05 * F.countDistinct("o_custkey")
+        ).alias("approx_ok"),
     )
 
 
 _COUNT_DISTINCT_SQL = """
 SELECT COUNT(DISTINCT o_custkey) AS customers,
-       COUNT(DISTINCT o_orderstatus) AS statuses
+       COUNT(DISTINCT o_orderstatus) AS statuses,
+       COUNT(*) AS n,
+       TRUE AS approx_ok
 FROM orders
 """
 
@@ -1435,6 +1517,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_global_stats": q_graph_global_stats,
     "graph_kcore": q_graph_kcore,
     "graph_ktruss": q_graph_ktruss,
+    "graph_betweenness": q_graph_betweenness,
     "graph_top10_pagerank": q_graph_top10_pagerank,
     # training-data pipeline ops (documents / embeddings) — the entries
     # that lacked an r2 row run here, well inside the check window
@@ -1469,8 +1552,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "array_ops": q_array_ops,
     "math_conditional": q_math_conditional,
     "asof_join_events": q_asof_join_events,
+    # exact + approx count-distinct merged into one slot (approx checked
+    # via the within-5%-of-exact boolean, not the engine-specific sketch)
     "count_distinct": q_count_distinct,
-    "approx_distinct": q_approx_distinct,  # rows-only (HLL differs by engine)
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1492,6 +1576,7 @@ ORACLE_SQL: dict[str, str] = {
     "graph_global_stats": _GLOBAL_STATS_SQL,
     "graph_kcore": _KCORE_SQL,
     "graph_ktruss": _ktruss_sql(4, TRUSS_ROUNDS),
+    "graph_betweenness": _betweenness_sql(N_BC_PIVOTS, BC_ORACLE_DEPTH),
     "graph_top10_pagerank": _TOP10_SQL,
     "lineitem_pricing_summary": _PRICING_SQL,
     "join_filter": _JOIN_FILTER_SQL,
@@ -1520,6 +1605,6 @@ ORACLE_SQL: dict[str, str] = {
     "knn_bruteforce": simsearch.KNN_BRUTEFORCE_SQL,
     "embedding_near_dup_pairs": simsearch.EMB_NEAR_DUP_SQL,
     "embedding_label_norms": simsearch.EMBEDDING_LABEL_NORMS_SQL,
-    # "knn_ann", "pages_pipeline_top10", "multimodal_features",
-    # "approx_distinct": rows-only (see tests/test_driver_contract.py)
+    # "knn_ann", "pages_pipeline_top10", "multimodal_features":
+    # rows-only (see tests/test_driver_contract.py)
 }

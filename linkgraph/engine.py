@@ -143,7 +143,12 @@ class SuperstepEngine:
         checkpoint_every: int = CHECKPOINT_EVERY,
         metrics_path: str | None = None,
         lineage_in_meta: bool = True,
+        keep_checkpoints: int = 2,
     ) -> None:
+        """``keep_checkpoints``: how many newest ``it=N`` checkpoint dirs to
+        retain (older ones are deleted after each successful checkpoint —
+        a 1,000-superstep crawl-scale run must not accumulate O(run)
+        storage). ≥1; pass 0/None to keep everything."""
         self.spark = spark
         self.ckpt_dir = ckpt_dir
         self.checkpoint_every = checkpoint_every
@@ -151,6 +156,8 @@ class SuperstepEngine:
             os.path.join(ckpt_dir, "metrics.jsonl") if ckpt_dir else None
         )
         self.lineage_in_meta = lineage_in_meta
+        self.keep_checkpoints = keep_checkpoints
+        self._warned_uri_metrics = False
 
     # ------------------------------------------------------------ checkpoints
 
@@ -173,7 +180,22 @@ class SuperstepEngine:
         # through the Hadoop FS: _meta.json sits beside the parquet, which
         # on a cluster is shared storage where driver-local open() fails
         fs_write_text(self.spark, os.path.join(path, "_meta.json"), json.dumps(meta))
+        self._prune_checkpoints()
         return reread
+
+    def _prune_checkpoints(self) -> None:
+        """Retention: drop all but the newest ``keep_checkpoints`` complete
+        checkpoints. Runs only AFTER a successful write+meta, so the
+        newest survivor is always resumable."""
+        if not self.keep_checkpoints or not self.ckpt_dir:
+            return
+        its = sorted(
+            int(m.group(1))
+            for name in fs_list_names(self.spark, self.ckpt_dir)
+            if (m := re.fullmatch(r"it=(\d+)", name))
+        )
+        for it in its[: -self.keep_checkpoints]:
+            fs_delete(self.spark, self._ckpt_path(it))
 
     def latest_checkpoint(self) -> tuple[int, str] | None:
         if not self.ckpt_dir:
@@ -196,7 +218,19 @@ class SuperstepEngine:
             return
         if "://" in self.metrics_path:
             # append-mode JSONL is driver-local telemetry; object stores /
-            # HDFS don't append — metrics stay available on RunResult
+            # HDFS don't append — metrics stay available on RunResult.
+            # Warn ONCE so a caller configuring cluster metrics learns the
+            # file is not being written rather than finding nothing later.
+            if not self._warned_uri_metrics:
+                self._warned_uri_metrics = True
+                import warnings
+
+                warnings.warn(
+                    f"metrics_path {self.metrics_path!r} is a URI; per-"
+                    "superstep JSONL appends are driver-local only — no "
+                    "file will be written (metrics remain on RunResult)",
+                    stacklevel=3,
+                )
             return
         os.makedirs(os.path.dirname(self.metrics_path), exist_ok=True)
         with open(self.metrics_path, "a") as f:

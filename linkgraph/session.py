@@ -22,9 +22,14 @@ def get_spark(
 ) -> SparkSession:
     """Build (or get) a SparkSession configured for the engine.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``);
-    on a cluster, pass ``None`` and let spark-submit supply the master.
+    ``master`` resolution: explicit argument > ``$SPARK_GRAFT_MASTER``
+    (verbatim — e.g. ``local-cluster[4,8,24576]`` for multi-JVM runs) >
+    ``local[$SPARK_GRAFT_CPUS]`` > ``local[*]``. Under spark-submit set
+    ``SPARK_GRAFT_MASTER`` to the submitted master so the builder agrees
+    with the CLI instead of overriding it.
     """
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER")
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"

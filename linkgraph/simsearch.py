@@ -122,10 +122,13 @@ def embedding_near_dup_pairs(
     threshold: float = EMB_NEAR_DUP_COS,
     max_exact_rows: int = EMB_EXACT_MAX_ROWS,
     bands: int = EMB_LSH_BANDS,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= threshold, a < b).
 
-    Corpus-size-gated execution (one count action to decide):
+    Corpus-size-gated execution (one count action to decide; pass
+    ``n_rows`` when the caller already knows the corpus size — e.g. from
+    catalog stats at 100 TB — and the gating count scan is skipped):
 
     - ``n <= max_exact_rows``: exact all-pairs self-join — complete recall,
       the small-corpus baseline the oracle checks.
@@ -138,7 +141,7 @@ def embedding_near_dup_pairs(
       all-pairs join is not an option. No crossJoin anywhere on this path.
     """
     normed = _normalized(emb)
-    if emb.count() <= max_exact_rows:
+    if (emb.count() if n_rows is None else n_rows) <= max_exact_rows:
         a = normed.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"))
         b = normed.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"))
         pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))

@@ -380,6 +380,71 @@ def test_sem_layout_reuse_skips_rewrite(spark, wiki_edges_df, wiki_vertices_df, 
     assert np.allclose(a, b, rtol=0, atol=1e-12)
 
 
+def test_sem_layout_reuse_refuses_mismatched_image(
+    spark, wiki_edges_df, wiki_vertices_df, tmp_path
+):
+    """A sem image written for different edges (or partitions /
+    hub_threshold) must be REFUSED under reuse_layout — consuming it would
+    silently mis-route vertex state. The fingerprint manifest beside the
+    image enforces this."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    layout = str(tmp_path / "sem_image_guard")
+    pagerank(
+        spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=1, eps=0.0,
+        kernel="sem", partitions=8, layout_dir=layout,
+    )
+    # different partition count, same edges
+    with pytest.raises(ValueError, match="different"):
+        pagerank(
+            spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=1, eps=0.0,
+            kernel="sem", partitions=4, layout_dir=layout, reuse_layout=True,
+        )
+    # different edge set (one edge dropped), same partitions
+    fewer = wiki_edges_df.filter(
+        ~((F.col("src_id") == wiki_edges_df.head()["src_id"])
+          & (F.col("dst_id") == wiki_edges_df.head()["dst_id"]))
+    )
+    with pytest.raises(ValueError, match="different"):
+        pagerank(
+            spark, fewer, vertices=wiki_vertices_df, max_iters=1, eps=0.0,
+            kernel="sem", partitions=8, layout_dir=layout, reuse_layout=True,
+        )
+
+
+def test_pagerank_warm_start_converges_faster_same_fixpoint(
+    spark, wiki_edges_df, wiki_vertices_df
+):
+    """Warm-starting from a previous result on a perturbed graph (the
+    incremental-crawl pattern: streaming ingest updated some edges)
+    converges in fewer supersteps and reaches the SAME fixpoint — the
+    fixpoint is unique for fixed (graph, d), the seed only moves the
+    start point."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    eps = 1e-8
+    base = pagerank(spark, wiki_edges_df, vertices=wiki_vertices_df, eps=eps)
+
+    # perturb: drop a 5% slice of edges (deterministic hash-based slice)
+    perturbed = wiki_edges_df.filter(
+        F.pmod(F.xxhash64("src_id", "dst_id"), F.lit(20)) != 0
+    )
+    cold = pagerank(spark, perturbed, vertices=wiki_vertices_df, eps=eps)
+    warm = pagerank(
+        spark, perturbed, vertices=wiki_vertices_df, eps=eps,
+        init_ranks=base.state.select("id", "rank"),
+    )
+    assert warm.iterations < cold.iterations, (
+        f"warm start took {warm.iterations} iters vs cold {cold.iterations}"
+    )
+    a = _vec(cold.state.select("id", "rank"), "rank")
+    b = _vec(warm.state.select("id", "rank"), "rank")
+    # both stopped at max|Δ| < eps of the same unique fixpoint
+    assert np.allclose(a, b, rtol=0, atol=10 * eps)
+
+
 def test_wcc_salted_equals_plain(spark, wiki_edges_df, wiki_vertices_df):
     """Hybrid salted MIN combine ≡ plain WCC (exact) — hub_threshold forced
     low so the fixture has a non-empty hot set and BOTH paths execute."""

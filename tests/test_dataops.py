@@ -222,6 +222,31 @@ def test_embedding_near_dup_scale_guard(spark):
     assert dup_pairs <= set(b)
 
 
+def test_embedding_near_dup_n_rows_hint_routes_without_count(spark):
+    """The caller-supplied ``n_rows`` hint decides the exact-vs-LSH regime
+    INSTEAD of the gating count scan: a hint above the bound routes this
+    tiny corpus through LSH (no cross join in the plan), a hint below
+    keeps the exact path — i.e. the hint, not a count of the actual data,
+    is what the gate consumed."""
+    from linkgraph.simsearch import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    hinted_large = embedding_near_dup_pairs(emb, n_rows=10**9)
+    plan = hinted_large._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    hinted_small = embedding_near_dup_pairs(emb, n_rows=10)
+    plan_small = hinted_small._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" in plan_small or "BroadcastNestedLoopJoin" in plan_small
+
+    # and the hinted-exact result is identical to the unhinted one
+    e = {(r["vec_a"], r["vec_b"]): r["cosine"]
+         for r in embedding_near_dup_pairs(emb).collect()}
+    h = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in hinted_small.collect()}
+    assert e == h
+
+
 def test_scrub_text_and_pii_counts(spark):
     """scrub_text redacts exactly what the PII-density metrics count: after
     scrubbing, the same count expressions find zero emails/urls, and

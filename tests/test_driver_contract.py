@@ -11,8 +11,6 @@ from __future__ import annotations
 
 # Queries deliberately without a DuckDB oracle — each needs a reason.
 ROWS_ONLY_ALLOWLIST = {
-    # HLL sketches differ by engine — approx count is engine-specific
-    "approx_distinct",
     # ANN with recall < 1 by design (bucketed LSH + IVF probing, merged)
     "knn_ann",
     # synthesized input (pages generator) — no shared table for DuckDB
@@ -45,6 +43,30 @@ def test_every_query_is_oracled_or_allowlisted():
         f"allowlisted queries now HAVE oracles — drop them from the "
         f"allowlist: {sorted(oracled_anyway)}"
     )
+
+
+# Registry entries DROPPED to fit the 50-entry driver window: each dropped
+# kernel's semantics must stay covered by a named pytest, so a future
+# removal can't silently orphan a kernel. Maps dropped coverage -> the test
+# function (in tests/) that now carries it.
+DROPPED_QUERY_COVERAGE = {
+    # graph_pagerank_5iter_csr: cogroup kernel ≡ sql within 1e-12
+    "graph_pagerank_5iter_csr": ("test_algos.py", "test_pagerank_csr_equals_sql_kernel"),
+    # graph_lp_1round: 1-round LP is round 1 of the 3-round unrolled oracle
+    "graph_lp_1round": ("test_algos.py", "test_lp_exact"),
+}
+
+
+def test_dropped_queries_have_named_pytest_coverage():
+    import pathlib
+
+    here = pathlib.Path(__file__).parent
+    for dropped, (fname, test_name) in DROPPED_QUERY_COVERAGE.items():
+        src = (here / fname).read_text()
+        assert f"def {test_name}(" in src, (
+            f"{dropped} was dropped from the registry relying on "
+            f"{fname}::{test_name}, which no longer exists"
+        )
 
 
 def test_oracle_sql_has_no_orphans():

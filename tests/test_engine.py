@@ -74,6 +74,41 @@ def test_wcc_star_resume_matches_uninterrupted(spark, wiki_edges_df, wiki_vertic
     assert (a == b).all()
 
 
+def test_checkpoint_retention_prunes_old_and_resumes(
+    spark, wiki_edges_df, wiki_vertices_df, tmp_path
+):
+    """keep_checkpoints=R: a long run retains only the newest R ``it=N``
+    dirs (crawl-scale runs must not accumulate O(run) storage) and resume
+    from the newest survivor still matches the uninterrupted run."""
+    ckpt = str(tmp_path / "ckpt_ret")
+    eng = SuperstepEngine(spark, ckpt_dir=ckpt, checkpoint_every=2, keep_checkpoints=2)
+    pagerank(
+        spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=8, eps=0.0, engine=eng
+    )
+    # checkpoints written at 2,4,6,8 — only the newest two survive
+    its = sorted(n for n in os.listdir(ckpt) if n.startswith("it="))
+    assert its == ["it=6", "it=8"]
+
+    eng2 = SuperstepEngine(spark, ckpt_dir=ckpt, checkpoint_every=2)
+    resumed = pagerank(
+        spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=10, eps=0.0,
+        engine=eng2, resume=True,
+    )
+    assert resumed.resumed_from == 8
+    full = pagerank(spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=10, eps=0.0)
+    assert np.allclose(_ranks(full), _ranks(resumed), rtol=0, atol=1e-12)
+
+    # keep_checkpoints=0 disables retention entirely
+    ckpt_all = str(tmp_path / "ckpt_all")
+    eng3 = SuperstepEngine(spark, ckpt_dir=ckpt_all, checkpoint_every=2, keep_checkpoints=0)
+    pagerank(
+        spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=6, eps=0.0, engine=eng3
+    )
+    assert sorted(n for n in os.listdir(ckpt_all) if n.startswith("it=")) == [
+        "it=2", "it=4", "it=6",
+    ]
+
+
 def test_checkpoint_meta_lineage(spark, wiki_edges_df, wiki_vertices_df, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     eng = SuperstepEngine(spark, ckpt_dir=ckpt, checkpoint_every=2)

@@ -19,6 +19,10 @@ def test_spark_submit_pyfiles_zip(tmp_path):
     import duckdb
     import pyarrow as pa
     import pyarrow.parquet as pq
+    import pytest
+
+    if shutil.which("spark-submit") is None:
+        pytest.skip("spark-submit not on PATH")
 
     subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "package.py")],
