@@ -30,14 +30,18 @@ from linkgraph.build import (
     symmetrized_gather_layout,
     vertex_ids_from_edges,
 )
-from linkgraph.engine import RunResult, SuperstepEngine
+from linkgraph.engine import ObservedStop, RunResult, SuperstepEngine
 
-
-def _should_stop(new_state: DataFrame, iteration: int) -> tuple[bool, dict]:
-    doomed = new_state.filter(
-        F.col("active") & (F.col("deg") < F.col("k"))
-    ).count()
-    return (doomed == 0), {"pending_removals": int(doomed)}
+# pending peels counted on the round's own materialization
+# (engine.ObservedStop) — no extra job per round
+_should_stop = ObservedStop(
+    metrics=lambda: {
+        "pending_removals": F.sum(
+            (F.col("active") & (F.col("deg") < F.col("k"))).cast("long")
+        )
+    },
+    decide=lambda m, it: int(m["pending_removals"] or 0) == 0,
+)
 
 
 def kcore(

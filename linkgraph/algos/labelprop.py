@@ -29,7 +29,10 @@ from linkgraph.engine import RunResult, SuperstepEngine, make_changed_stop
 
 # never stops (fixed iterations are the pinned convention); emits the
 # per-round changed-label count — synchronous LP's oscillation failure
-# mode is only visible through this at crawl scale
+# mode is only visible through this at crawl scale. Observed on the
+# round's own materialization (engine.ObservedStop) after an interleaved
+# A/B measured the round-3 separate-action form at ~12% of lp_3iter
+# (min 9.8s vs 8.8s on the 5M-edge bench graph) — telemetry is now free.
 _telemetry_fn = make_changed_stop("changed_labels", stop_on_zero=False)
 
 
@@ -47,8 +50,8 @@ def label_propagation(
     (id, label, changed).
 
     ``telemetry`` (default on) logs the changed-label count per round into
-    the engine metrics (one O(V) scalar action over the already-
-    materialized state per superstep — the gather itself is untouched).
+    the engine metrics, observed on the superstep's own materialization —
+    zero extra Spark jobs (engine.ObservedStop).
     """
     engine = engine or SuperstepEngine(spark)
     partitions = resolve_partitions(spark, edges, partitions)

@@ -98,13 +98,14 @@ def _apply(
 
 
 def _stop_fn(eps: float):
-    def should_stop(new_state: DataFrame, iteration: int) -> tuple[bool, dict]:
-        delta = new_state.agg(
-            F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("d")
-        ).first()["d"]
-        return (delta is not None and delta < eps), {"max_delta": delta}
+    """Convergence check observed on the superstep's own materialization
+    (engine.ObservedStop) — no extra per-superstep aggregation job."""
+    from linkgraph.engine import ObservedStop
 
-    return should_stop
+    return ObservedStop(
+        metrics=lambda: {"max_delta": F.max(F.abs(F.col("rank") - F.col("prev_rank")))},
+        decide=lambda m, it: m["max_delta"] is not None and m["max_delta"] < eps,
+    )
 
 
 def pagerank(

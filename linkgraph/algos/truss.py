@@ -108,13 +108,18 @@ def truss(
 
     prev: dict[str, int] = {}
 
-    def should_stop(und: DataFrame, iteration: int) -> tuple[bool, dict]:
+    def _decide(m: dict, iteration: int) -> bool:
         # peeling is monotone (edges only ever leave), so a stable count
         # IS a stable edge set
-        n = und.count()
+        n = m["edges"]
         stop = prev.get("n") == n
         prev["n"] = n
-        return stop, {"edges": n}
+        return stop
+
+    from linkgraph.engine import ObservedStop
+
+    # edge count observed on the round's own materialization — no extra job
+    should_stop = ObservedStop(metrics=lambda: {"edges": F.count(F.lit(1))}, decide=_decide)
 
     return engine.run(
         und0,

@@ -177,19 +177,27 @@ def wcc_star(
     prev: dict[str, tuple] = {}
     converged = {"ok": False}
 
-    def should_stop(e: DataFrame, iteration: int) -> tuple[bool, dict]:
-        row = e.agg(
-            F.count(F.lit(1)).alias("edges"),
-            F.sum(
-                F.xxhash64("src_id", "dst_id").cast("decimal(38,0)")
-            ).cast("string").alias("checksum"),
-        ).first()
-        sig = (row["edges"], row["checksum"])
+    def _decide(m: dict, iteration: int) -> bool:
+        sig = (m["edges"], m["checksum"])
         stop = prev.get("sig") == sig
         prev["sig"] = sig
         if stop:
             converged["ok"] = True
-        return stop, {"edges": row["edges"]}
+        return stop
+
+    # count + order-insensitive checksum observed on the round's own
+    # materialization (engine.ObservedStop) — no extra job per round
+    from linkgraph.engine import ObservedStop
+
+    should_stop = ObservedStop(
+        metrics=lambda: {
+            "edges": F.count(F.lit(1)),
+            "checksum": F.sum(
+                F.xxhash64("src_id", "dst_id").cast("decimal(38,0)")
+            ).cast("string"),
+        },
+        decide=_decide,
+    )
 
     result = engine.run(e0, step, max_iters=max_iters, should_stop=should_stop, resume=resume)
     if not converged["ok"]:

@@ -29,7 +29,7 @@ import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from linkgraph.conventions import CHECKPOINT_EVERY
@@ -38,6 +38,33 @@ from linkgraph.conventions import CHECKPOINT_EVERY
 StepFn = Callable[[DataFrame, int], DataFrame]
 # stop(new_state, iteration) -> (stop?, metrics dict). Runs ≤1 Spark action.
 StopFn = Callable[[DataFrame, int], tuple[bool, dict]]
+
+
+@dataclass
+class ObservedStop:
+    """Stop/telemetry computed for FREE on the superstep's own
+    materialization.
+
+    A plain ``StopFn`` costs one extra O(V) aggregation job per superstep
+    (scan the localCheckpoint'd state, reduce a scalar). ``ObservedStop``
+    instead attaches ``metrics`` (named aggregate Columns) to the new
+    state via ``DataFrame.observe`` — Spark evaluates them task-side
+    DURING the eager ``localCheckpoint`` the engine already runs for
+    lineage truncation, so stop decisions and per-round telemetry add
+    **zero** Spark jobs. At crawl scale (1,000-superstep runs) that is a
+    thousand scans of vertex state not taken.
+
+    ``decide(observed_metrics, iteration) -> stop?`` runs driver-side on
+    the observed scalars; the scalars are logged as the superstep's
+    metrics row. ``decide=None`` means pure telemetry (never stops).
+
+    ``metrics`` is a zero-arg FACTORY (not a dict): Column construction
+    needs an active SparkContext, and stop definitions are routinely built
+    at module import time, before any session exists.
+    """
+
+    metrics: Callable[[], dict[str, Column]]
+    decide: Callable[[dict, int], bool] | None = None
 
 
 # ---------------------------------------------------------------- fs helpers
@@ -90,20 +117,26 @@ def fs_delete(spark: SparkSession, path_str: str) -> None:
         fs.delete(p, True)
 
 
-def make_changed_stop(metric_key: str = "changed", stop_on_zero: bool = True) -> StopFn:
-    """The standard frontier stop/telemetry function: sum the boolean
-    ``changed`` column of the new state, log it under ``metric_key``, and
-    (unless ``stop_on_zero`` is off — fixed-iteration telemetry mode) stop
-    when it hits 0. One shared definition for every frontier kernel."""
+def make_changed_stop(metric_key: str = "changed", stop_on_zero: bool = True) -> ObservedStop:
+    """The standard frontier stop/telemetry: sum the boolean ``changed``
+    column of the new state, log it under ``metric_key``, and (unless
+    ``stop_on_zero`` is off — fixed-iteration telemetry mode) stop when it
+    hits 0. One shared definition for every frontier kernel; observed on
+    the superstep's own materialization, so it costs no extra job."""
+    return ObservedStop(
+        metrics=lambda: {metric_key: F.sum(F.col("changed").cast("long"))},
+        decide=(lambda m, it: int(m[metric_key] or 0) == 0) if stop_on_zero else None,
+    )
 
-    def fn(new_state: DataFrame, iteration: int) -> tuple[bool, dict]:
-        changed = new_state.agg(
-            F.sum(F.col("changed").cast("long")).alias("c")
-        ).first()["c"]
-        n = int(changed or 0)
-        return (stop_on_zero and n == 0), {metric_key: n}
 
-    return fn
+def _plain(v):
+    """Observed metric values -> JSON-loggable python scalars (sum over an
+    empty state observes as None; decimal-space checksums as Decimal)."""
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    return v
 
 
 @dataclass
@@ -243,7 +276,7 @@ class SuperstepEngine:
         initial_state: DataFrame,
         step: StepFn,
         max_iters: int,
-        should_stop: StopFn | None = None,
+        should_stop: StopFn | ObservedStop | None = None,
         resume: bool = False,
     ) -> RunResult:
         state = initial_state
@@ -290,7 +323,7 @@ class SuperstepEngine:
         state: DataFrame,
         step: StepFn,
         max_iters: int,
-        should_stop: StopFn | None,
+        should_stop: StopFn | ObservedStop | None,
         start_iter: int,
         resumed_from: int | None,
         metrics: list[dict],
@@ -303,9 +336,23 @@ class SuperstepEngine:
             # doubles per iteration (2^k blowup -> driver OOM). This cuts the
             # plan at a materialized RDD; the parquet checkpoint below is the
             # durable/resumable layer (SURVEY.md §4 "lineage blowup").
-            new_state = step(state, iteration).localCheckpoint(eager=True)
+            plan = step(state, iteration)
+            ob: Observation | None = None
+            if isinstance(should_stop, ObservedStop):
+                # stop metrics ride the localCheckpoint materialization —
+                # no separate aggregation job (see ObservedStop)
+                ob = Observation()
+                plan = plan.observe(
+                    ob,
+                    *[expr.alias(k) for k, expr in should_stop.metrics().items()],
+                )
+            new_state = plan.localCheckpoint(eager=True)
             stop, algo_metrics = (False, {})
-            if should_stop is not None:
+            if ob is not None:
+                algo_metrics = {k: _plain(v) for k, v in ob.get.items()}
+                if should_stop.decide is not None:
+                    stop = bool(should_stop.decide(algo_metrics, iteration))
+            elif should_stop is not None:
                 stop, algo_metrics = should_stop(new_state, iteration)
             seconds = time.monotonic() - t0
             do_ckpt = self.ckpt_dir and (

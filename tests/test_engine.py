@@ -144,6 +144,40 @@ def test_metrics_carry_max_delta_when_converging(
     assert all("max_delta" in r and "seconds" in r for r in lines)
 
 
+def test_observed_stop_adds_no_spark_jobs(spark, wiki_edges_df, wiki_vertices_df):
+    """ObservedStop rides the superstep's own localCheckpoint
+    materialization: LP with per-round telemetry must launch EXACTLY as
+    many Spark jobs as LP without it (the round-3 separate-action form
+    cost one O(V) aggregation job per round — measured ~12% of lp_3iter)."""
+    from linkgraph.algos import label_propagation
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    # untracked warmup: materializes the session-cached fixture edges so
+    # neither measured arm pays the one-time caching jobs
+    label_propagation(spark, wiki_edges_df, vertices=wiki_vertices_df, iters=1)
+
+    def jobs_for(group: str, telemetry: bool) -> int:
+        sc.setJobGroup(group, group)
+        try:
+            res = label_propagation(
+                spark, wiki_edges_df, vertices=wiki_vertices_df, iters=2,
+                telemetry=telemetry,
+            )
+            if telemetry:
+                assert all("changed_labels" in m for m in res.metrics)
+        finally:
+            sc.setJobGroup(None, None)
+        return len(tracker.getJobIdsForGroup(group))
+
+    n_on = jobs_for("lp_obs_on", True)
+    n_off = jobs_for("lp_obs_off", False)
+    assert n_on == n_off, (
+        f"telemetry launched {n_on - n_off} extra Spark jobs (want 0)"
+    )
+
+
 def test_sem_block_manifest_guards_missing_layout(tmp_path):
     """A block the layout-time manifest marks edge-bearing must RAISE when
     its file is unreachable (driver-local layout on a cluster, deleted
