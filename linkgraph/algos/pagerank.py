@@ -172,7 +172,12 @@ def pagerank(
     edges = gather_layout(edges, partitions, cols=cols)
     state0 = _initial_state(edges, vertices, damping, personalized, weight_col)
     if init_ranks is not None:
-        seed = init_ranks.select("id", F.col("rank").alias("__seed"))
+        # MAX-deduped on id: a duplicated seed row would otherwise duplicate
+        # the vertex's whole state row, double-counting its contribution in
+        # every gather (silently wrong, the same class of bug as repeated
+        # betweenness pivots). Any single seed value per id is safe — the
+        # fixpoint is unique; the seed only moves the start point.
+        seed = init_ranks.groupBy("id").agg(F.max("rank").alias("__seed"))
         state0 = state0.join(seed, "id", "left").select(
             "id", F.coalesce("__seed", "rank").alias("rank"), "out_deg"
         )
@@ -231,6 +236,9 @@ def pagerank(
             step = _make_sem_step(
                 spark, edges, damping, partitions, hub_threshold, layout_dir,
                 personalized, reuse_layout=reuse_layout,
+                # a run-private temp layout can never be reused — skip the
+                # O(E) fingerprint action + manifest for it
+                manifest=tmp_layout is None,
             )
         else:
             raise ValueError(f"unknown kernel {kernel!r}")
@@ -538,6 +546,7 @@ def _make_sem_step(
     layout_dir: str,
     personalized: list[int] | None = None,
     reuse_layout: bool = False,
+    manifest: bool = True,
 ):
     edges_parts, hubs, n_hubs = _routed_edges(edges, partitions, hub_threshold)
     # the graph "image": written once, hive-partitioned by block id — on a
@@ -553,26 +562,27 @@ def _make_sem_step(
     # always False and would silently rewrite the image every run).
     # Layout manifest: routing is a pure function of (edges, partitions,
     # hub_threshold) — a layout written under ANY other triple silently
-    # mis-routes vertex state. The fingerprint (one agg over the already-
-    # persisted edge cache) is written beside the image and VALIDATED on
-    # reuse, raising on mismatch — the same refuse-don't-guess safeguard
-    # as scc's checkpoint fingerprint. "_"-prefixed files are invisible to
-    # Spark's parquet reader, so the manifest can live inside layout_dir.
-    row = edges.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64("src_id", "dst_id").cast("decimal(38,0)"))
-        .cast("string")
-        .alias("checksum"),
-    ).first()
-    fingerprint = {
-        "partitions": int(partitions),
-        "hub_threshold": int(hub_threshold),
-        "edges": int(row["n"]),
-        "checksum": row["checksum"],
-    }
+    # mis-routes vertex state. The fingerprint (build.edge_fingerprint, one
+    # agg over the already-persisted edge cache) is written beside the
+    # image and VALIDATED on reuse, raising on mismatch — the same
+    # refuse-don't-guess safeguard as scc's checkpoint fingerprint.
+    # "_"-prefixed files are invisible to Spark's parquet reader, so the
+    # manifest can live inside layout_dir. ``manifest=False`` (run-private
+    # temp layouts) skips the fingerprint action entirely.
+    fingerprint = None
+    if manifest:
+        from linkgraph.build import edge_fingerprint
+
+        n, chk = edge_fingerprint(edges)
+        fingerprint = {
+            "partitions": int(partitions),
+            "hub_threshold": int(hub_threshold),
+            "edges": n,
+            "checksum": chk,
+        }
     manifest_path = f"{layout_dir}/_lg_layout_meta.json"
     have_layout = False
-    if reuse_layout:
+    if reuse_layout and fingerprint is not None:
         from linkgraph.engine import fs_exists, fs_read_text
 
         if fs_exists(spark, manifest_path):
@@ -600,9 +610,10 @@ def _make_sem_step(
             .partitionBy("part")
             .parquet(layout_dir)
         )
-        from linkgraph.engine import fs_write_text
+        if fingerprint is not None:
+            from linkgraph.engine import fs_write_text
 
-        fs_write_text(spark, manifest_path, json.dumps(fingerprint))
+            fs_write_text(spark, manifest_path, json.dumps(fingerprint))
     # layout-time manifest: which blocks actually hold edges (≤ `partitions`
     # rows — bounded driver-side metadata, like engine lineage)
     edge_parts = frozenset(

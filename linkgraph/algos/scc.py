@@ -108,13 +108,10 @@ def scc(
     fingerprint = None
     if ckpt_dir:
         # one O(E) action: the input's identity, stored with every phase
-        row = e0.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("src_id", "dst_id").cast("decimal(38,0)"))
-            .cast("string")
-            .alias("chk"),
-        ).first()
-        fingerprint = {"n_edges": row["n"], "checksum": row["chk"]}
+        from linkgraph.build import edge_fingerprint
+
+        n, chk = edge_fingerprint(e0)
+        fingerprint = {"n_edges": n, "checksum": chk}
 
     if ckpt_dir and not resume:
         # fresh run: leftover phases from a previous run (same dir,

@@ -198,6 +198,21 @@ def load_edge_image(spark, table: str) -> DataFrame:
     return df
 
 
+def edge_fingerprint(
+    edges: DataFrame, cols: tuple[str, ...] = ("src_id", "dst_id")
+) -> tuple[int, str]:
+    """(count, order-insensitive checksum) identity of an edge multiset —
+    ONE aggregation action. The shared definition for every subsystem that
+    refuses stale artifacts built from a different graph (sem layout
+    manifest, scc phase checkpoints); sum runs in decimal space because in
+    ANSI mode a sum of full-range xxhash64 longs overflows."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).cast("string").alias("chk"),
+    ).first()
+    return int(row["n"]), row["chk"]
+
+
 def resolve_partitions(spark, edges: DataFrame, partitions: int | None) -> int:
     """Gather-partition count for an iterative kernel, in priority order:
     explicit caller argument > the bucket count a ``load_edge_image``

@@ -213,21 +213,36 @@ class SuperstepEngine:
         # through the Hadoop FS: _meta.json sits beside the parquet, which
         # on a cluster is shared storage where driver-local open() fails
         fs_write_text(self.spark, os.path.join(path, "_meta.json"), json.dumps(meta))
-        self._prune_checkpoints()
+        self._prune_checkpoints(iteration)
         return reread
 
-    def _prune_checkpoints(self) -> None:
-        """Retention: drop all but the newest ``keep_checkpoints`` complete
-        checkpoints. Runs only AFTER a successful write+meta, so the
-        newest survivor is always resumable."""
+    def _prune_checkpoints(self, current_it: int) -> None:
+        """Retention: drop all but the newest ``keep_checkpoints`` COMPLETE
+        checkpoints at or below the current iteration. Runs only AFTER a
+        successful write+meta, so the newest survivor is always resumable.
+        Two guards: only complete (_meta.json) checkpoints can occupy a
+        retention slot (a killed-mid-write dir is deleted, never kept over
+        a valid older one), and dirs numbered ABOVE the current iteration
+        are never touched — pruning by raw dict order in a reused ckpt_dir
+        would delete the checkpoint this run just wrote while "keeping" a
+        previous run's stale higher-numbered ones."""
         if not self.keep_checkpoints or not self.ckpt_dir:
             return
-        its = sorted(
-            int(m.group(1))
-            for name in fs_list_names(self.spark, self.ckpt_dir)
-            if (m := re.fullmatch(r"it=(\d+)", name))
-        )
-        for it in its[: -self.keep_checkpoints]:
+        complete: list[int] = []
+        incomplete: list[int] = []
+        for name in fs_list_names(self.spark, self.ckpt_dir):
+            m = re.fullmatch(r"it=(\d+)", name)
+            if not m or (it := int(m.group(1))) > current_it:
+                continue
+            has_meta = fs_exists(
+                self.spark, os.path.join(self._ckpt_path(it), "_meta.json")
+            )
+            (complete if has_meta else incomplete).append(it)
+        keep = set(sorted(complete)[-self.keep_checkpoints:])
+        for it in complete:
+            if it not in keep:
+                fs_delete(self.spark, self._ckpt_path(it))
+        for it in incomplete:
             fs_delete(self.spark, self._ckpt_path(it))
 
     def latest_checkpoint(self) -> tuple[int, str] | None:
@@ -288,6 +303,15 @@ class SuperstepEngine:
                 start_iter, path = latest
                 state = self.spark.read.parquet(path)
                 resumed_from = start_iter
+        elif self.ckpt_dir:
+            # fresh run over a reused ckpt_dir: a previous run's it=N dirs
+            # must not survive — they would confuse retention (stale
+            # higher-numbered dirs out-sorting this run's fresh ones) and a
+            # later resume=True would silently resume the WRONG run (same
+            # refuse-stale rule as scc's phase checkpoints)
+            for name in fs_list_names(self.spark, self.ckpt_dir):
+                if re.fullmatch(r"it=\d+", name):
+                    fs_delete(self.spark, os.path.join(self.ckpt_dir, name))
 
         metrics: list[dict] = []
         iteration = start_iter

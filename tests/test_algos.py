@@ -424,7 +424,7 @@ def test_pagerank_warm_start_converges_faster_same_fixpoint(
     import numpy as np
     from pyspark.sql import functions as F
 
-    eps = 1e-8
+    eps = 1e-9
     base = pagerank(spark, wiki_edges_df, vertices=wiki_vertices_df, eps=eps)
 
     # perturb: drop a 5% slice of edges (deterministic hash-based slice)
@@ -441,8 +441,30 @@ def test_pagerank_warm_start_converges_faster_same_fixpoint(
     )
     a = _vec(cold.state.select("id", "rank"), "rank")
     b = _vec(warm.state.select("id", "rank"), "rank")
-    # both stopped at max|Δ| < eps of the same unique fixpoint
-    assert np.allclose(a, b, rtol=0, atol=10 * eps)
+    # both stopped at max|Δ| < eps; the stop criterion bounds distance to
+    # the fixpoint only up to a graph-dependent factor (≈ d/(1-d) per run),
+    # so the equivalence tolerance gets two orders of slack — still far
+    # below the 1e-6 acceptance tolerance
+    assert np.allclose(a, b, rtol=0, atol=100 * eps)
+
+    # a DUPLICATED seed row must not duplicate vertex state (which would
+    # double-count that vertex's contribution in every gather): seeding
+    # from the result unioned with itself ≡ seeding from the result
+    seed = base.state.select("id", "rank")
+    w1 = pagerank(
+        spark, perturbed, vertices=wiki_vertices_df, max_iters=3, eps=0.0,
+        init_ranks=seed,
+    )
+    w2 = pagerank(
+        spark, perturbed, vertices=wiki_vertices_df, max_iters=3, eps=0.0,
+        init_ranks=seed.unionByName(seed),
+    )
+    assert w2.state.count() == w1.state.count()
+    assert np.allclose(
+        _vec(w1.state.select("id", "rank"), "rank"),
+        _vec(w2.state.select("id", "rank"), "rank"),
+        rtol=0, atol=1e-12,
+    )
 
 
 def test_wcc_salted_equals_plain(spark, wiki_edges_df, wiki_vertices_df):

@@ -98,6 +98,20 @@ def test_checkpoint_retention_prunes_old_and_resumes(
     full = pagerank(spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=10, eps=0.0)
     assert np.allclose(_ranks(full), _ranks(resumed), rtol=0, atol=1e-12)
 
+    # regression: a FRESH run over the reused dir (which now holds stale
+    # higher-numbered it=6..10 checkpoints) must clear them at start and
+    # keep its OWN fresh checkpoints — prune once sorted stale dirs above
+    # the fresh it=2 and deleted the checkpoint the run had just written
+    # (FAILED_READ_FILE crash on the next superstep)
+    eng_fresh = SuperstepEngine(spark, ckpt_dir=ckpt, checkpoint_every=2, keep_checkpoints=2)
+    pagerank(
+        spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=4, eps=0.0,
+        engine=eng_fresh,
+    )
+    assert sorted(n for n in os.listdir(ckpt) if n.startswith("it=")) == [
+        "it=2", "it=4",
+    ]
+
     # keep_checkpoints=0 disables retention entirely
     ckpt_all = str(tmp_path / "ckpt_all")
     eng3 = SuperstepEngine(spark, ckpt_dir=ckpt_all, checkpoint_every=2, keep_checkpoints=0)
