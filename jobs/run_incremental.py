@@ -1,0 +1,64 @@
+"""Continuous crawl → incremental re-rank driver (spark-submit friendly).
+
+Each poll ingests any NEW page parquet files from --pages (streaming
+availableNow with a durable source checkpoint — already-seen files are
+skipped), refreshes the latest-crawl edge view, and re-ranks warm-started
+from the previous poll's converged ranks. State (pair log, stable url→id
+dictionary, ranks, stream checkpoint) lives under --state and survives
+restarts.
+
+    spark-submit --py-files linkgraph.zip jobs/run_incremental.py \
+        --pages /data/warc_pages --state /data/rank_state \
+        --polls 0 --interval 60      # 0 = poll forever
+
+One JSON line per poll on stdout (urls, edges, iterations, seconds).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True, help="directory of page parquet files")
+    ap.add_argument("--state", required=True, help="state directory (any Hadoop-FS path)")
+    ap.add_argument("--polls", type=int, default=1, help="number of polls; 0 = forever")
+    ap.add_argument("--interval", type=float, default=60.0, help="seconds between polls")
+    ap.add_argument("--eps", type=float, default=None)
+    ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--partitions", type=int, default=32)
+    args = ap.parse_args()
+
+    from linkgraph.conventions import PR_EPS, PR_MAX_ITERS
+    from linkgraph.incremental import incremental_rank_poll
+    from linkgraph.session import get_spark
+
+    spark = get_spark(app_name="linkgraph-incremental")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    poll = 0
+    while True:
+        poll += 1
+        row = incremental_rank_poll(
+            spark,
+            args.pages,
+            args.state,
+            eps=PR_EPS if args.eps is None else args.eps,
+            max_iters=PR_MAX_ITERS if args.iters is None else args.iters,
+            partitions=args.partitions,
+        )
+        print(json.dumps({"poll": poll, **row}), flush=True)
+        if args.polls and poll >= args.polls:
+            break
+        time.sleep(args.interval)
+
+
+if __name__ == "__main__":
+    main()

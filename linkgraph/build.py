@@ -103,6 +103,30 @@ def assign_vertex_ids(urls: DataFrame, scalable: bool = True, partitions: int = 
     return out
 
 
+def extend_vertex_ids(
+    existing: DataFrame, urls: DataFrame, scalable: bool = True, partitions: int = 32
+) -> DataFrame:
+    """STABLE incremental url→id dictionary: urls already in ``existing``
+    keep their ids; unseen urls get fresh dense ids above the current max
+    (assign_vertex_ids on just the novel urls, shifted).
+
+    This is what makes warm-started re-ranking possible on a continuous
+    crawl: a from-scratch ``assign_vertex_ids`` over the grown url
+    universe would RENUMBER every vertex (dense rank shifts when any url
+    sorts earlier), silently mis-seeding ``pagerank(init_ranks=...)``.
+    Returns the extended dictionary (id, url); ids are never reused or
+    reassigned, so rank/component state keyed by id stays valid across
+    polls. The max-id lookup is one bounded driver scalar."""
+    new_urls = (
+        urls.select("url").distinct().join(existing.select("url"), "url", "left_anti")
+    )
+    row = existing.agg(F.max("id").alias("m")).first()
+    base = -1 if row["m"] is None else int(row["m"])
+    fresh = assign_vertex_ids(new_urls, scalable=scalable, partitions=partitions)
+    fresh = fresh.select((F.col("id") + F.lit(base + 1)).cast("long").alias("id"), "url")
+    return existing.select("id", "url").unionByName(fresh)
+
+
 def build_graph(
     pages: DataFrame,
     partitions: int = 32,

@@ -1,0 +1,120 @@
+"""Incremental crawl → re-rank loop: the continuous-ingest counterpart of
+the batch pipeline (SURVEY.md §2.1 A8 + north-star "resumable
+mid-convergence" story, extended to the steady-state regime).
+
+One ``poll`` = drive the streaming link-extraction over any new page
+files (``streaming.run_edge_ingest_once``: availableNow file micro-
+batches, append-only pair log, re-crawl replacement with tombstones),
+rebuild the latest-crawl edge view, extend the STABLE url→id dictionary
+(``build.extend_vertex_ids`` — known urls keep their ids, so state keyed
+by id survives polls), and re-rank **warm-started from the previous
+poll's ranks** (``pagerank(init_ranks=...)``). On an incremental crawl
+the graph changes a little per poll, so the previous fixpoint is an
+excellent seed — convergence takes a fraction of the cold iterations
+while the converged answer is identical (the fixpoint is unique per
+graph; tested).
+
+State layout under ``state_dir`` (all parquet + stream checkpoints; any
+Hadoop-FS path — local, hdfs://, s3a://):
+
+    pairlog/      append-only (src_url, warc_ts, crawl_fp, dst_url) log
+    ingest_ckpt/  structured-streaming source checkpoint (new files only)
+    dict/         stable url -> id dictionary
+    ranks/        latest converged (id, rank)
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linkgraph.build import extend_vertex_ids
+from linkgraph.conventions import PR_DAMPING, PR_EPS, PR_MAX_ITERS
+
+
+def _read_parquet_or_none(spark: SparkSession, path: str, schema: str) -> DataFrame | None:
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.schema(schema).parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise  # real read failures must propagate, not reset state
+        return None
+
+
+def incremental_rank_poll(
+    spark: SparkSession,
+    pages_path: str,
+    state_dir: str,
+    damping: float = PR_DAMPING,
+    eps: float = PR_EPS,
+    max_iters: int = PR_MAX_ITERS,
+    partitions: int = 32,
+) -> dict:
+    """Run one ingest+re-rank poll; returns a metrics dict (one JSON-able
+    row per poll: urls/edges seen, iterations to convergence, seconds)."""
+    from linkgraph.algos import pagerank
+    from linkgraph.streaming import current_edge_pairs, run_edge_ingest_once
+
+    t0 = time.monotonic()
+    log = run_edge_ingest_once(
+        spark, pages_path, f"{state_dir}/pairlog", f"{state_dir}/ingest_ckpt"
+    )
+    pairs = current_edge_pairs(log)
+
+    # stable dictionary: known urls keep ids; novel urls appended above max.
+    # Materialize (localCheckpoint) BEFORE overwriting the parquet it was
+    # derived from — a lazy plan over files being replaced is a read-after-
+    # delete crash or silent corruption.
+    dict_path = f"{state_dir}/dict"
+    existing = _read_parquet_or_none(spark, dict_path, "id long, url string")
+    if existing is None:
+        existing = spark.createDataFrame([], "id long, url string")
+    urls = pairs.select(F.col("src_url").alias("url")).unionByName(
+        pairs.select(F.col("dst_url").alias("url"))
+    )
+    dictionary = extend_vertex_ids(existing, urls, partitions=partitions).localCheckpoint(
+        eager=True
+    )
+    dictionary.write.mode("overwrite").parquet(dict_path)
+
+    edges = (
+        pairs.join(
+            dictionary.select(F.col("url").alias("src_url"), F.col("id").alias("src_id")),
+            "src_url",
+        )
+        .join(
+            dictionary.select(F.col("url").alias("dst_url"), F.col("id").alias("dst_id")),
+            "dst_url",
+        )
+        .select("src_id", "dst_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+    )
+
+    ranks_path = f"{state_dir}/ranks"
+    init_ranks = _read_parquet_or_none(spark, ranks_path, "id long, rank double")
+    res = pagerank(
+        spark,
+        edges,
+        vertices=dictionary.select("id"),
+        damping=damping,
+        eps=eps,
+        max_iters=max_iters,
+        partitions=partitions,
+        init_ranks=init_ranks,
+    )
+    # engine state is localCheckpoint-backed (no lazy dependency on the old
+    # ranks files) -> overwrite is safe
+    res.state.select("id", "rank").write.mode("overwrite").parquet(ranks_path)
+
+    return {
+        "urls": dictionary.count(),
+        "edges": edges.count(),
+        "iterations": res.iterations,
+        "warm_started": init_ranks is not None,
+        "seconds": round(time.monotonic() - t0, 3),
+    }

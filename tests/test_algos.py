@@ -425,15 +425,15 @@ def test_pagerank_warm_start_converges_faster_same_fixpoint(
     from pyspark.sql import functions as F
 
     eps = 1e-9
-    base = pagerank(spark, wiki_edges_df, vertices=wiki_vertices_df, eps=eps)
+    base = pagerank(spark, wiki_edges_df, vertices=wiki_vertices_df, eps=eps, max_iters=200)
 
     # perturb: drop a 5% slice of edges (deterministic hash-based slice)
     perturbed = wiki_edges_df.filter(
         F.pmod(F.xxhash64("src_id", "dst_id"), F.lit(20)) != 0
     )
-    cold = pagerank(spark, perturbed, vertices=wiki_vertices_df, eps=eps)
+    cold = pagerank(spark, perturbed, vertices=wiki_vertices_df, eps=eps, max_iters=200)
     warm = pagerank(
-        spark, perturbed, vertices=wiki_vertices_df, eps=eps,
+        spark, perturbed, vertices=wiki_vertices_df, eps=eps, max_iters=200,
         init_ranks=base.state.select("id", "rank"),
     )
     assert warm.iterations < cold.iterations, (
