@@ -41,13 +41,37 @@ def master_str(n_exec: int, cores: int, mem_mb: int) -> str:
     return f"local-cluster[{n_exec},{cores},{mem_mb}]"
 
 
-def run_pagerank(n_exec: int, args, kernel: str) -> dict:
-    master = master_str(n_exec, args.exec_cores, args.exec_mem_mb)
+def child_env(master: str, n_cores: int) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_MASTER=master,  # keeps get_spark in agreement with the CLI
-        SPARK_GRAFT_CPUS=str(n_exec * args.exec_cores),
+        SPARK_GRAFT_CPUS=str(n_cores),
     )
+    # In local-cluster mode the standalone worker OVERRIDES spark.local.dir
+    # with SPARK_LOCAL_DIRS, so the session builder's tmpfs routing is
+    # silently lost — set it in the worker env instead.
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        env["SPARK_LOCAL_DIRS"] = "/dev/shm/spark-local"
+    return env
+
+
+def purge_local_dirs() -> None:
+    """Remove leftover shuffle/spill files from a killed earlier run.
+    tmpfs files are RESIDENT RAM: stale ones from an OOM-killed attempt
+    would recreate the very memory-overcommit regime the per-executor
+    memory default exists to avoid, silently biasing the next measurement.
+    The harness runs strictly serially, so nothing live uses the dir."""
+    import shutil
+
+    d = "/dev/shm/spark-local"
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            shutil.rmtree(os.path.join(d, name), ignore_errors=True)
+
+
+def run_pagerank(n_exec: int, args, kernel: str) -> dict:
+    master = master_str(n_exec, args.exec_cores, args.exec_mem_mb)
+    env = child_env(master, n_exec * args.exec_cores)
     cmd = [
         "spark-submit",
         "--master", master,
@@ -64,6 +88,7 @@ def run_pagerank(n_exec: int, args, kernel: str) -> dict:
     ]
     last_err = None
     for attempt in range(2):
+        purge_local_dirs()
         out = subprocess.run(cmd, env=env, capture_output=True, text=True, cwd=REPO)
         if out.returncode == 0:
             for line in reversed(out.stdout.strip().splitlines()):
@@ -104,7 +129,9 @@ for _ in range(3):
 print(best)
 """
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, check=True,
+        env=child_env(master, n_exec * args.exec_cores),
     )
     return float(out.stdout.strip().splitlines()[-1])
 
@@ -112,7 +139,12 @@ print(best)
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--exec-cores", type=int, default=8)
-    ap.add_argument("--exec-mem-mb", type=int, default=24576)
+    # 8g per executor, FIXED across levels: "add executors" means adding
+    # identical machines, and on this 128 GiB box 4 x 24g heaps + 16g
+    # driver + tmpfs shuffle OVERCOMMIT physical RAM — measured page-
+    # reclaim storms degraded supersteps 6s -> 40s and produced the
+    # eff=0.11 artifact this default replaces.
+    ap.add_argument("--exec-mem-mb", type=int, default=8192)
     ap.add_argument("--vertices", type=int, default=1_000_000)
     ap.add_argument("--edges", type=int, default=50_000_000)
     ap.add_argument("--iters", type=int, default=10)

@@ -99,7 +99,14 @@ def assign_vertex_ids(urls: DataFrame, scalable: bool = True, partitions: int = 
             (F.row_number().over(w) - F.lit(1) + F.col("__offset")).cast("long").alias("id"),
             "url",
         )
+        # eager materialization so the ranged cache can be released NOW:
+        # a lazy return would pin the persist() for the session's lifetime
+        # (CacheManager entries survive GC), which leaks one O(V) cache per
+        # call — fatal for the per-poll incremental loop. Also guarantees
+        # the ids downstream plans see are computed exactly once.
+        .localCheckpoint(eager=True)
     )
+    ranged.unpersist()
     return out
 
 

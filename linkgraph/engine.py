@@ -117,6 +117,17 @@ def fs_delete(spark: SparkSession, path_str: str) -> None:
         fs.delete(p, True)
 
 
+def fs_rename(spark: SparkSession, src_str: str, dst_str: str) -> bool:
+    """Directory/file rename via the Hadoop FS API — atomic on HDFS and
+    local filesystems (object stores degrade to copy). Returns False if
+    the source is missing or the FS refuses the rename."""
+    fs, src = _hadoop_fs(spark, src_str)
+    _, dst = _hadoop_fs(spark, dst_str)
+    if not fs.exists(src):
+        return False
+    return bool(fs.rename(src, dst))
+
+
 def make_changed_stop(metric_key: str = "changed", stop_on_zero: bool = True) -> ObservedStop:
     """The standard frontier stop/telemetry: sum the boolean ``changed``
     column of the new state, log it under ``metric_key``, and (unless

@@ -27,22 +27,11 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from linkgraph.build import extend_vertex_ids
 from linkgraph.conventions import PR_DAMPING, PR_EPS, PR_MAX_ITERS
-
-
-def _read_parquet_or_none(spark: SparkSession, path: str, schema: str) -> DataFrame | None:
-    from pyspark.errors import AnalysisException
-
-    try:
-        return spark.read.schema(schema).parquet(path)
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-            raise  # real read failures must propagate, not reset state
-        return None
 
 
 def incremental_rank_poll(
@@ -57,6 +46,7 @@ def incremental_rank_poll(
     """Run one ingest+re-rank poll; returns a metrics dict (one JSON-able
     row per poll: urls/edges seen, iterations to convergence, seconds)."""
     from linkgraph.algos import pagerank
+    from linkgraph.io import committed_overwrite, read_committed_or_none
     from linkgraph.streaming import current_edge_pairs, run_edge_ingest_once
 
     t0 = time.monotonic()
@@ -66,11 +56,14 @@ def incremental_rank_poll(
     pairs = current_edge_pairs(log)
 
     # stable dictionary: known urls keep ids; novel urls appended above max.
-    # Materialize (localCheckpoint) BEFORE overwriting the parquet it was
+    # Materialize (localCheckpoint) BEFORE replacing the parquet it was
     # derived from — a lazy plan over files being replaced is a read-after-
-    # delete crash or silent corruption.
+    # delete crash or silent corruption. The replacement itself is a staged
+    # swap (io.committed_overwrite): a crash mid-write must never leave a
+    # partial dict/ that the next poll would read as "these urls are gone",
+    # reassigning their ids and invalidating every id-keyed state row.
     dict_path = f"{state_dir}/dict"
-    existing = _read_parquet_or_none(spark, dict_path, "id long, url string")
+    existing = read_committed_or_none(spark, dict_path, "id long, url string")
     if existing is None:
         existing = spark.createDataFrame([], "id long, url string")
     urls = pairs.select(F.col("src_url").alias("url")).unionByName(
@@ -79,7 +72,17 @@ def incremental_rank_poll(
     dictionary = extend_vertex_ids(existing, urls, partitions=partitions).localCheckpoint(
         eager=True
     )
-    dictionary.write.mode("overwrite").parquet(dict_path)
+    n_urls = dictionary.count()
+    if n_urls == 0:
+        # crawler hasn't produced a single page yet: nothing to rank, and
+        # running the superstep loop on empty state would burn max_iters
+        # no-op jobs per poll (an empty F.max observes NULL, so the
+        # convergence stop never fires)
+        return {
+            "urls": 0, "edges": 0, "iterations": 0,
+            "warm_started": False, "seconds": round(time.monotonic() - t0, 3),
+        }
+    committed_overwrite(spark, dictionary, dict_path)
 
     edges = (
         pairs.join(
@@ -93,27 +96,36 @@ def incremental_rank_poll(
         .select("src_id", "dst_id")
         .filter(F.col("src_id") != F.col("dst_id"))
         .distinct()
+        .persist()
     )
+    try:
+        n_edges = edges.count()  # materialize once; pagerank + metrics reuse
 
-    ranks_path = f"{state_dir}/ranks"
-    init_ranks = _read_parquet_or_none(spark, ranks_path, "id long, rank double")
-    res = pagerank(
-        spark,
-        edges,
-        vertices=dictionary.select("id"),
-        damping=damping,
-        eps=eps,
-        max_iters=max_iters,
-        partitions=partitions,
-        init_ranks=init_ranks,
-    )
-    # engine state is localCheckpoint-backed (no lazy dependency on the old
-    # ranks files) -> overwrite is safe
-    res.state.select("id", "rank").write.mode("overwrite").parquet(ranks_path)
+        ranks_path = f"{state_dir}/ranks"
+        init_ranks = read_committed_or_none(spark, ranks_path, "id long, rank double")
+        res = pagerank(
+            spark,
+            edges,
+            vertices=dictionary.select("id"),
+            damping=damping,
+            eps=eps,
+            max_iters=max_iters,
+            partitions=partitions,
+            init_ranks=init_ranks,
+        )
+        # engine state after >=1 superstep is localCheckpoint-backed; a
+        # 0-iteration run (max_iters=0) still holds a lazy plan over the
+        # ranks files about to be replaced — break it explicitly
+        state = res.state.select("id", "rank")
+        if res.iterations == 0:
+            state = state.localCheckpoint(eager=True)
+        committed_overwrite(spark, state, ranks_path)
+    finally:
+        edges.unpersist()
 
     return {
-        "urls": dictionary.count(),
-        "edges": edges.count(),
+        "urls": n_urls,
+        "edges": n_edges,
         "iterations": res.iterations,
         "warm_started": init_ranks is not None,
         "seconds": round(time.monotonic() - t0, 3),

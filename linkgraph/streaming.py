@@ -359,13 +359,9 @@ def run_edge_ingest_once(
             StructField("dst_url", StringType(), True),
         ]
     )
-    from pyspark.errors import AnalysisException
+    # first poll before any pages landed: the sink never created out_dir —
+    # an empty log, not an error (the caller loops); real read failures
+    # propagate (linkgraph.io)
+    from linkgraph.io import read_parquet_or_empty
 
-    try:
-        return spark.read.schema(log_schema).parquet(out_dir)
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-            raise  # real read failures must propagate, not become an empty log
-        # first poll before any pages landed: the sink never created
-        # out_dir — an empty log, not an error (the caller loops)
-        return spark.createDataFrame([], log_schema)
+    return read_parquet_or_empty(spark, out_dir, log_schema)
