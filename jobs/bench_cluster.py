@@ -51,7 +51,10 @@ def child_env(master: str, n_cores: int) -> dict:
     # with SPARK_LOCAL_DIRS, so the session builder's tmpfs routing is
     # silently lost — set it in the worker env instead.
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        env["SPARK_LOCAL_DIRS"] = "/dev/shm/spark-local"
+        # harness-PRIVATE subdir: purge_local_dirs must never touch
+        # /dev/shm/spark-local, which every other get_spark session on
+        # the box routes through (session.py)
+        env["SPARK_LOCAL_DIRS"] = "/dev/shm/spark-local-benchlc"
     return env
 
 
@@ -60,10 +63,12 @@ def purge_local_dirs() -> None:
     tmpfs files are RESIDENT RAM: stale ones from an OOM-killed attempt
     would recreate the very memory-overcommit regime the per-executor
     memory default exists to avoid, silently biasing the next measurement.
-    The harness runs strictly serially, so nothing live uses the dir."""
+    The dir is private to this harness (not the shared
+    /dev/shm/spark-local), and the harness runs strictly serially, so
+    nothing live uses it."""
     import shutil
 
-    d = "/dev/shm/spark-local"
+    d = "/dev/shm/spark-local-benchlc"
     if os.path.isdir(d):
         for name in os.listdir(d):
             shutil.rmtree(os.path.join(d, name), ignore_errors=True)
@@ -147,9 +152,14 @@ def main() -> None:
     ap.add_argument("--exec-mem-mb", type=int, default=8192)
     ap.add_argument("--vertices", type=int, default=1_000_000)
     ap.add_argument("--edges", type=int, default=50_000_000)
-    ap.add_argument("--iters", type=int, default=10)
+    # 20 so the trimmed mean reflects steady state: 4-JVM JIT + cache
+    # warm-up spans ~4 supersteps, and crawl-scale runs are 50+.
+    ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--kernels", default="sql,sem")
-    ap.add_argument("--partitions", type=int, default=32)
+    # 2 task waves at the LARGER level (4x8 slots): one-wave 32 was a
+    # measured straggler cliff (3.79 vs 2.69 s/iter at 4x8); fixed at
+    # both levels, sized for the largest — the real-cluster rule.
+    ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     args = ap.parse_args()

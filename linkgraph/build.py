@@ -75,7 +75,8 @@ def assign_vertex_ids(urls: DataFrame, scalable: bool = True, partitions: int = 
         w = Window.orderBy("url")
         return urls.select(
             (F.row_number().over(w) - F.lit(1)).cast("long").alias("id"), "url"
-        )
+        ).localCheckpoint(eager=True)  # same contract as the scalable path:
+        # callers receive a materialized dictionary they can reuse freely
     ranged = (
         urls.repartitionByRange(partitions, "url")
         .withColumn("__pid", F.spark_partition_id())
@@ -150,7 +151,9 @@ def build_graph(
     url_universe = snap.select("url").unionByName(
         pairs.select(F.col("dst_url").alias("url"))
     )
-    dictionary = assign_vertex_ids(url_universe, scalable=scalable_ids, partitions=partitions).persist()
+    # already materialized (assign_vertex_ids localCheckpoints its output)
+    # — a second .persist() here would store the O(V) id table twice
+    dictionary = assign_vertex_ids(url_universe, scalable=scalable_ids, partitions=partitions)
 
     edges = (
         pairs.join(dictionary.withColumnRenamed("url", "src_url").withColumnRenamed("id", "src_id"), "src_url")

@@ -43,13 +43,44 @@ def test_read_committed_recovers_interrupted_swap(spark, tmp_path):
     assert [(r["id"], r["url"]) for r in got.collect()] == [(7, "x")]
     assert os.path.isdir(path) and not os.path.exists(staging)
 
-    # partial staging: marker removed -> must NOT be adopted
+    # partial staging: marker removed -> must NOT be adopted; the OLD state
+    # (still at path under the rename-aside protocol) keeps being served
     path2 = str(tmp_path / "state2")
     staging2 = path2 + ".staging"
     spark.createDataFrame([(9, "y")], "id long, url string").write.parquet(staging2)
     os.remove(f"{staging2}/_SUCCESS")
     assert read_committed_or_none(spark, path2, "id long, url string") is None
     assert os.path.isdir(staging2)  # left for inspection, not deleted
+    spark.createDataFrame([(1, "old")], "id long, url string").write.parquet(path2)
+    got2 = read_committed_or_none(spark, path2, "id long, url string")
+    assert [(r["id"], r["url"]) for r in got2.collect()] == [(1, "old")]
+
+
+def test_committed_overwrite_clears_aside_residue(spark, tmp_path):
+    """Crash after the swap but before deleting path.old: the residue is
+    ignored by readers (path wins) and cleaned by the next commit."""
+    from linkgraph.io import committed_overwrite, read_committed_or_none
+
+    path = str(tmp_path / "state")
+    spark.createDataFrame([(5, "new")], "id long, url string").write.parquet(path)
+    spark.createDataFrame([(4, "old")], "id long, url string").write.parquet(path + ".old")
+
+    got = read_committed_or_none(spark, path, "id long, url string")
+    assert [(r["id"], r["url"]) for r in got.collect()] == [(5, "new")]
+
+    committed_overwrite(
+        spark, spark.createDataFrame([(6, "v3")], "id long, url string"), path
+    )
+    assert not os.path.exists(path + ".old") and not os.path.exists(path + ".staging")
+    got = read_committed_or_none(spark, path, "id long, url string")
+    assert [(r["id"], r["url"]) for r in got.collect()] == [(6, "v3")]
+
+    # stranded COMPLETE .old with neither path nor staging: restored
+    path3 = str(tmp_path / "state3")
+    spark.createDataFrame([(8, "w")], "id long, url string").write.parquet(path3 + ".old")
+    got = read_committed_or_none(spark, path3, "id long, url string")
+    assert [(r["id"], r["url"]) for r in got.collect()] == [(8, "w")]
+    assert os.path.isdir(path3) and not os.path.exists(path3 + ".old")
 
 
 def test_read_parquet_or_empty_missing_and_present(spark, tmp_path):
@@ -82,3 +113,32 @@ def test_assign_vertex_ids_releases_cache(spark):
         assert out.count() == 100
     if was_empty:
         assert cm.isEmpty(), "assign_vertex_ids leaked a CacheManager entry"
+    else:
+        # session-scoped fixtures had already cached something, so the
+        # in-session assertion above proved nothing — run the check in a
+        # pristine JVM where isEmpty() is decisive (a reintroduced leak
+        # must fail CI regardless of test ordering)
+        import subprocess
+        import sys
+
+        code = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from linkgraph.build import assign_vertex_ids
+out = assign_vertex_ids(
+    spark.createDataFrame([(f"u{{i}}",) for i in range(100)], "url string"),
+    partitions=4,
+)
+assert out.count() == 100
+assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), "leak"
+print("CACHE_OK")
+""".format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+        )
+        assert proc.returncode == 0 and "CACHE_OK" in proc.stdout, proc.stderr[-2000:]
