@@ -35,7 +35,7 @@ LEVELS = [
 ]
 
 
-def run_level(v: int, e: int, args) -> dict:
+def run_level(v: int, e: int, args, tries: int = 2) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS="32")
     env.pop("SPARK_GRAFT_MASTER", None)  # single-JVM local[32]
     cmd = [
@@ -44,13 +44,22 @@ def run_level(v: int, e: int, args) -> dict:
         "--iters", str(args.iters), "--kernel", args.kernel,
         "--partitions", str(args.partitions),
     ]
-    out = subprocess.run(cmd, env=env, capture_output=True, text=True, cwd=REPO)
-    if out.returncode != 0:
-        raise RuntimeError(out.stderr.strip().splitlines()[-30:])
-    for line in reversed(out.stdout.strip().splitlines()):
-        if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError("no JSON line from bench_pagerank")
+    last_err = ""
+    for attempt in range(tries):
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True, cwd=REPO)
+        if out.returncode == 0:
+            for line in reversed(out.stdout.strip().splitlines()):
+                if line.startswith("{"):
+                    return json.loads(line)
+            last_err = "no JSON line in bench_pagerank stdout"
+        else:
+            # one retry: a transient failure at the 200M-edge level must not
+            # discard the completed levels of a multi-hour protocol
+            last_err = "\n".join(out.stderr.strip().splitlines()[-30:])
+        print(f"run_level v={v} attempt {attempt + 1}/{tries} failed", flush=True)
+    raise RuntimeError(
+        f"bench_pagerank failed at |V|={v} after {tries} tries; stderr tail:\n{last_err}"
+    )
 
 
 def main() -> None:

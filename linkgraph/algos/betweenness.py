@@ -170,7 +170,10 @@ def betweenness(
         return RunResult(
             state=out,
             iterations=bfs_res.iterations + int(max_depth),
-            metrics=bfs_res.metrics,
+            # deepest BFS level actually reached from any pivot — callers
+            # that compare against a depth-capped oracle need this to tell
+            # "oracle too shallow" apart from a real mismatch
+            metrics=bfs_res.metrics + [{"bc_max_depth": int(max_depth)}],
         )
     finally:
         fwd.unpersist()

@@ -135,6 +135,27 @@ def extend_vertex_ids(
     return existing.select("id", "url").unionByName(fresh)
 
 
+def pairs_to_edges(pairs: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """THE edge-derivation rule, shared by the batch build and the
+    incremental poll so the two paths cannot silently diverge: map both
+    endpoints of each (src_url, dst_url) pair through the id dictionary
+    (inner joins — a pair with an unmapped endpoint is dropped), remove
+    self-loops, and dedup parallel links."""
+    return (
+        pairs.join(
+            dictionary.select(F.col("url").alias("src_url"), F.col("id").alias("src_id")),
+            "src_url",
+        )
+        .join(
+            dictionary.select(F.col("url").alias("dst_url"), F.col("id").alias("dst_id")),
+            "dst_url",
+        )
+        .select("src_id", "dst_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+    )
+
+
 def build_graph(
     pages: DataFrame,
     partitions: int = 32,
@@ -156,14 +177,8 @@ def build_graph(
     dictionary = assign_vertex_ids(url_universe, scalable=scalable_ids, partitions=partitions)
 
     edges = (
-        pairs.join(dictionary.withColumnRenamed("url", "src_url").withColumnRenamed("id", "src_id"), "src_url")
-        .join(dictionary.withColumnRenamed("url", "dst_url").withColumnRenamed("id", "dst_id"), "dst_url")
-        .select("src_id", "dst_id")
-        .filter(F.col("src_id") != F.col("dst_id"))
-        .distinct()
-    )
-    edges = (
-        edges.repartitionByRange(partitions, "src_id")
+        pairs_to_edges(pairs, dictionary)
+        .repartitionByRange(partitions, "src_id")
         .sortWithinPartitions("src_id", "dst_id")
         .persist()
     )

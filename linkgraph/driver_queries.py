@@ -583,6 +583,21 @@ def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in vertex_ids_from_edges(e).orderBy("id").limit(N_BC_PIVOTS).collect()
     ]
     res = betweenness(spark, e, pivots=piv)
+    # the engine sweeps to frontier exhaustion but the oracle CTE is
+    # unrolled to a FIXED depth — if the graph shape ever grows a pivot
+    # eccentricity past the cap, fail loudly here instead of letting the
+    # driver report a confusing engine-vs-oracle value mismatch on a
+    # correct engine
+    depth = next(
+        (m["bc_max_depth"] for m in reversed(res.metrics) if "bc_max_depth" in m),
+        None,
+    )
+    if depth is not None and depth > BC_ORACLE_DEPTH:
+        raise ValueError(
+            f"graph_betweenness: pivot BFS reached depth {depth} > "
+            f"BC_ORACLE_DEPTH={BC_ORACLE_DEPTH}; raise the oracle unroll "
+            "depth to match — the capped CTE would under-accumulate"
+        )
     return res.state.select("id", F.round("bc", 6).alias("bc"))
 
 

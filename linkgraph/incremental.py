@@ -30,7 +30,7 @@ import time
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from linkgraph.build import extend_vertex_ids
+from linkgraph.build import extend_vertex_ids, pairs_to_edges
 from linkgraph.conventions import PR_DAMPING, PR_EPS, PR_MAX_ITERS
 
 
@@ -84,20 +84,10 @@ def incremental_rank_poll(
         }
     committed_overwrite(spark, dictionary, dict_path)
 
-    edges = (
-        pairs.join(
-            dictionary.select(F.col("url").alias("src_url"), F.col("id").alias("src_id")),
-            "src_url",
-        )
-        .join(
-            dictionary.select(F.col("url").alias("dst_url"), F.col("id").alias("dst_id")),
-            "dst_url",
-        )
-        .select("src_id", "dst_id")
-        .filter(F.col("src_id") != F.col("dst_id"))
-        .distinct()
-        .persist()
-    )
+    # SAME rule as the batch build (build.pairs_to_edges) — the
+    # incremental-vs-batch equivalence tests depend on one shared source
+    # of truth for endpoint mapping / self-loop / dedup semantics
+    edges = pairs_to_edges(pairs, dictionary).persist()
     try:
         n_edges = edges.count()  # materialize once; pagerank + metrics reuse
 

@@ -7,6 +7,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Commit marker written by committed_overwrite itself after the staging
+# parquet write completes. Deliberately NOT Spark's _SUCCESS: clusters
+# commonly run with mapreduce.fileoutputcommitter.marksuccessfuljobs=false
+# (the default recommendation on s3a), and keying crash recovery off a
+# marker someone else may have turned off would silently downgrade
+# "adopt the completed staging dir" to "state absent" — the exact id reset
+# this module exists to prevent. Files starting with "_" are ignored by
+# parquet readers, so the marker rides along through the renames.
+_COMMIT_MARKER = "_LG_COMMITTED"
+
 
 def read_parquet_or_none(
     spark: SparkSession, path: str, schema: str | object
@@ -32,6 +42,39 @@ def read_parquet_or_empty(
     return df if df is not None else spark.createDataFrame([], schema)
 
 
+def _is_committed(spark: SparkSession, d: str) -> bool:
+    from linkgraph.engine import fs_exists
+
+    return fs_exists(spark, f"{d}/{_COMMIT_MARKER}")
+
+
+def _recover_swap(spark: SparkSession, path: str) -> None:
+    """Complete a swap a crash interrupted, WRITER-side only: if ``path``
+    is missing but a COMMITTED ``path.staging`` exists (death between the
+    two renames), rename it into place; a stranded committed ``path.old``
+    with neither path nor staging (manual intervention) is likewise
+    restored. A refused recovery rename RAISES rather than degrading to
+    "state absent": an implicit reset would reassign every id from 0."""
+    from linkgraph.engine import fs_exists, fs_rename
+
+    base = path.rstrip("/")
+    if fs_exists(spark, path):
+        return
+    staging, aside = base + ".staging", base + ".old"
+    if _is_committed(spark, staging):
+        if not fs_rename(spark, staging, path):
+            raise IOError(
+                f"recover_swap: committed staging {staging} exists but "
+                f"rename -> {path} failed; refusing to reset state"
+            )
+    elif _is_committed(spark, aside):
+        if not fs_rename(spark, aside, path):
+            raise IOError(
+                f"recover_swap: rename {aside} -> {path} failed; "
+                "refusing to reset state"
+            )
+
+
 def committed_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
     """Replace the state directory at ``path`` with ``df``'s rows without a
     window where a crash leaves a HALF-WRITTEN directory that a later read
@@ -41,20 +84,29 @@ def committed_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
     writes part files into it — a driver killed mid-write leaves a
     readable-but-partial parquet dir, which for the stable id dictionary
     means silently renumbered vertices on the next poll. Protocol here:
-    write to ``path.staging``, rename the old dir ASIDE (never a recursive
-    delete of live state: a kill mid-delete would leave a readable-but-
-    partial ``path`` that a reader mistakes for complete), rename staging
-    into place, then delete the aside copy. At every kill point ``path``
-    either does not exist or is a COMPLETE state dir, and a complete
-    staging survives for ``read_committed_or_none`` to adopt. The caller
-    must have broken any lazy dependency of ``df`` on ``path`` itself
-    (localCheckpoint) before calling."""
-    from linkgraph.engine import fs_delete, fs_exists, fs_rename
+    complete any swap a previous crash interrupted, write to
+    ``path.staging`` and stamp it with our own commit marker (NOT Spark's
+    ``_SUCCESS``, which marksuccessfuljobs=false deployments suppress),
+    rename the old dir ASIDE (never a recursive delete of live state: a
+    kill mid-delete would leave a readable-but-partial ``path`` that a
+    reader mistakes for complete), rename staging into place, then delete
+    the aside copy. At every kill point ``path`` either does not exist or
+    is a COMPLETE state dir, and a committed staging survives for the next
+    write (or ``read_committed_or_none``) to pick up. All filesystem
+    mutation lives HERE — readers never rename, so a concurrent reader
+    cannot steal an in-flight swap's staging dir out from under this
+    writer. The caller must have broken any lazy dependency of ``df`` on
+    ``path`` itself (localCheckpoint) before calling."""
+    from linkgraph.engine import fs_delete, fs_exists, fs_rename, fs_write_text
 
     base = path.rstrip("/")
     staging, aside = base + ".staging", base + ".old"
-    fs_delete(spark, staging)
+    # a committed staging left by a crash between renames is the LIVE
+    # state — complete that swap before deleting anything
+    _recover_swap(spark, path)
+    fs_delete(spark, staging)  # partial residue only, after recovery
     df.write.mode("overwrite").parquet(staging)
+    fs_write_text(spark, f"{staging}/{_COMMIT_MARKER}", "")
     fs_delete(spark, aside)  # residue from an earlier crash after its swap
     if fs_exists(spark, path) and not fs_rename(spark, path, aside):
         raise IOError(f"committed_overwrite: rename {path} -> {aside} failed")
@@ -66,35 +118,24 @@ def committed_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
 def read_committed_or_none(
     spark: SparkSession, path: str, schema: str | object
 ) -> DataFrame | None:
-    """Read state written by ``committed_overwrite``, completing a swap a
-    crash interrupted: if ``path`` is missing but ``path.staging`` exists
-    (death between the two renames), the staging dir — which is always
-    fully written before the old dir is touched — is adopted. A refused
-    adoption rename RAISES rather than degrading to "state absent": an
-    implicit reset would reassign every id from 0."""
-    from linkgraph.engine import fs_exists, fs_rename
+    """Read state written by ``committed_overwrite`` WITHOUT mutating the
+    filesystem: if ``path`` is missing but a COMMITTED ``path.staging``
+    (or, failing that, a committed stranded ``path.old``) exists, that dir
+    is read IN PLACE; the next ``committed_overwrite`` renames it back into
+    position. Keeping readers side-effect-free means a monitoring session
+    reading the same state dir can never race an in-flight writer's swap
+    and strand it mid-rename. (A reader that overlaps the swap window may
+    get a lazy DataFrame whose files move before its action runs — that
+    surfaces as a read error on the READER, never corrupted state; callers
+    that hold results across a subsequent write must localCheckpoint, as
+    the incremental loop does.) A partial staging dir — no commit marker —
+    is never served."""
+    from linkgraph.engine import fs_exists
 
     base = path.rstrip("/")
-    staging = base + ".staging"
     if not fs_exists(spark, path):
-        # adopt staging only if its write COMPLETED (_SUCCESS marker) — a
-        # crash mid-staging-write leaves a partial dir that must never
-        # become state (the old state, if any, is then still at `path`)
-        if fs_exists(spark, f"{staging}/_SUCCESS"):
-            if not fs_rename(spark, staging, path):
-                raise IOError(
-                    f"read_committed: completed staging {staging} exists but "
-                    f"rename -> {path} failed; refusing to reset state"
-                )
-        elif fs_exists(spark, f"{base}.old/_SUCCESS"):
-            # crash exactly between the two renames with staging ALSO
-            # incomplete cannot happen (staging completes first), but a
-            # stranded complete .old with no path and no staging means
-            # manual intervention beat us here — restore it rather than
-            # resetting ids
-            if not fs_rename(spark, f"{base}.old", path):
-                raise IOError(
-                    f"read_committed: rename {base}.old -> {path} failed; "
-                    "refusing to reset state"
-                )
+        for candidate in (base + ".staging", base + ".old"):
+            if _is_committed(spark, candidate):
+                return read_parquet_or_none(spark, candidate, schema)
+        return None
     return read_parquet_or_none(spark, path, schema)

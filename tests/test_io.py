@@ -29,26 +29,50 @@ def test_committed_overwrite_roundtrip_and_replace(spark, tmp_path):
     assert {(r["id"], r["url"]) for r in got.collect()} == {(0, "a"), (1, "b"), (2, "c")}
 
 
+def _mark_committed(d):
+    """Stamp a dir the way committed_overwrite does after its staging write."""
+    from linkgraph.io import _COMMIT_MARKER
+
+    with open(os.path.join(d, _COMMIT_MARKER), "w"):
+        pass
+
+
 def test_read_committed_recovers_interrupted_swap(spark, tmp_path):
-    """Crash between delete(old) and rename(staging): the completed staging
-    dir must be adopted; a PARTIAL staging (no _SUCCESS) must not be."""
-    from linkgraph.io import read_committed_or_none
+    """Crash between the two swap renames: the committed staging dir must be
+    served IN PLACE by readers (no filesystem mutation — a concurrent reader
+    must never steal an in-flight writer's staging mid-swap) and renamed
+    back into position by the next WRITE; a partial staging (no commit
+    marker) must never become state. Adoption keys off our own marker, not
+    Spark's _SUCCESS, which marksuccessfuljobs=false deployments suppress."""
+    from linkgraph.io import committed_overwrite, read_committed_or_none
 
     path = str(tmp_path / "state")
     staging = path + ".staging"
-    # simulate: staging fully written (Spark emits _SUCCESS), old dir deleted
+    # simulate a committed staging on a marksuccessfuljobs=false cluster:
+    # no _SUCCESS, but our marker is present
     spark.createDataFrame([(7, "x")], "id long, url string").write.parquet(staging)
-    assert os.path.exists(f"{staging}/_SUCCESS")
+    os.remove(f"{staging}/_SUCCESS")
+    _mark_committed(staging)
     got = read_committed_or_none(spark, path, "id long, url string")
     assert [(r["id"], r["url"]) for r in got.collect()] == [(7, "x")]
-    assert os.path.isdir(path) and not os.path.exists(staging)
+    # the read was side-effect-free: staging still in place, path absent
+    assert os.path.isdir(staging) and not os.path.exists(path)
 
-    # partial staging: marker removed -> must NOT be adopted; the OLD state
-    # (still at path under the rename-aside protocol) keeps being served
+    # the next WRITE completes the interrupted swap before staging anew
+    committed_overwrite(
+        spark, spark.createDataFrame([(8, "x2")], "id long, url string"), path
+    )
+    assert os.path.isdir(path) and not os.path.exists(staging)
+    got = read_committed_or_none(spark, path, "id long, url string")
+    assert [(r["id"], r["url"]) for r in got.collect()] == [(8, "x2")]
+
+    # partial staging: Spark's _SUCCESS alone (crash before our marker)
+    # must NOT be adopted; the OLD state (still at path under the
+    # rename-aside protocol) keeps being served
     path2 = str(tmp_path / "state2")
     staging2 = path2 + ".staging"
     spark.createDataFrame([(9, "y")], "id long, url string").write.parquet(staging2)
-    os.remove(f"{staging2}/_SUCCESS")
+    assert os.path.exists(f"{staging2}/_SUCCESS")
     assert read_committed_or_none(spark, path2, "id long, url string") is None
     assert os.path.isdir(staging2)  # left for inspection, not deleted
     spark.createDataFrame([(1, "old")], "id long, url string").write.parquet(path2)
@@ -75,12 +99,20 @@ def test_committed_overwrite_clears_aside_residue(spark, tmp_path):
     got = read_committed_or_none(spark, path, "id long, url string")
     assert [(r["id"], r["url"]) for r in got.collect()] == [(6, "v3")]
 
-    # stranded COMPLETE .old with neither path nor staging: restored
+    # stranded COMMITTED .old with neither path nor staging: served in
+    # place by readers (no mutation), restored by the next write
     path3 = str(tmp_path / "state3")
     spark.createDataFrame([(8, "w")], "id long, url string").write.parquet(path3 + ".old")
+    _mark_committed(path3 + ".old")
     got = read_committed_or_none(spark, path3, "id long, url string")
     assert [(r["id"], r["url"]) for r in got.collect()] == [(8, "w")]
+    assert os.path.isdir(path3 + ".old") and not os.path.exists(path3)
+    committed_overwrite(
+        spark, spark.createDataFrame([(9, "w2")], "id long, url string"), path3
+    )
     assert os.path.isdir(path3) and not os.path.exists(path3 + ".old")
+    got = read_committed_or_none(spark, path3, "id long, url string")
+    assert [(r["id"], r["url"]) for r in got.collect()] == [(9, "w2")]
 
 
 def test_read_parquet_or_empty_missing_and_present(spark, tmp_path):
