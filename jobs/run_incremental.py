@@ -34,26 +34,39 @@ def main() -> None:
     ap.add_argument("--eps", type=float, default=None)
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument(
+        "--link-store-buckets",
+        type=int,
+        default=0,
+        help="0 = full-pairlog poll (view recomputed from all history); "
+        ">0 = LinkStore poll with this bucket count (latest view maintained "
+        "incrementally — O(new + touched buckets) per poll, the web-scale "
+        "steady-state form)",
+    )
     args = ap.parse_args()
 
     from linkgraph.conventions import PR_EPS, PR_MAX_ITERS
-    from linkgraph.incremental import incremental_rank_poll
+    from linkgraph.incremental import incremental_rank_poll, link_store_rank_poll
     from linkgraph.session import get_spark
 
     spark = get_spark(app_name="linkgraph-incremental")
     spark.sparkContext.setLogLevel("ERROR")
 
+    kwargs = dict(
+        eps=PR_EPS if args.eps is None else args.eps,
+        max_iters=PR_MAX_ITERS if args.iters is None else args.iters,
+        partitions=args.partitions,
+    )
     poll = 0
     while True:
         poll += 1
-        row = incremental_rank_poll(
-            spark,
-            args.pages,
-            args.state,
-            eps=PR_EPS if args.eps is None else args.eps,
-            max_iters=PR_MAX_ITERS if args.iters is None else args.iters,
-            partitions=args.partitions,
-        )
+        if args.link_store_buckets > 0:
+            row = link_store_rank_poll(
+                spark, args.pages, args.state,
+                buckets=args.link_store_buckets, **kwargs,
+            )
+        else:
+            row = incremental_rank_poll(spark, args.pages, args.state, **kwargs)
         print(json.dumps({"poll": poll, **row}), flush=True)
         if args.polls and poll >= args.polls:
             break

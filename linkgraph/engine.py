@@ -117,6 +117,11 @@ def fs_delete(spark: SparkSession, path_str: str) -> None:
         fs.delete(p, True)
 
 
+def fs_mkdirs(spark: SparkSession, path_str: str) -> None:
+    fs, p = _hadoop_fs(spark, path_str)
+    fs.mkdirs(p)
+
+
 def fs_rename(spark: SparkSession, src_str: str, dst_str: str) -> bool:
     """Directory/file rename via the Hadoop FS API — atomic on HDFS and
     local filesystems (object stores degrade to copy). Returns False if

@@ -14,11 +14,24 @@ excellent seed — convergence takes a fraction of the cold iterations
 while the converged answer is identical (the fixpoint is unique per
 graph; tested).
 
+Two poll implementations share the dict+rank core:
+
+- ``incremental_rank_poll`` — append-only pair log, latest view
+  recomputed from the FULL log each poll. Simple, correct, but per-poll
+  cost grows with crawl history.
+- ``link_store_rank_poll`` — ``linkstore.LinkStore``-backed: the latest
+  view is materialized in bucket partitions and each poll merges only
+  the new rows into the touched buckets, so view maintenance is
+  O(new + touched buckets) and the dictionary only ever sees the urls a
+  poll could have introduced. This is the form that survives a
+  continuous 10^12-document crawl.
+
 State layout under ``state_dir`` (all parquet + stream checkpoints; any
 Hadoop-FS path — local, hdfs://, s3a://):
 
     pairlog/      append-only (src_url, warc_ts, crawl_fp, dst_url) log
     ingest_ckpt/  structured-streaming source checkpoint (new files only)
+    links/        LinkStore root (link_store_rank_poll variant)
     dict/         stable url -> id dictionary
     ranks/        latest converged (id, rank)
 """
@@ -27,33 +40,31 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from linkgraph.build import extend_vertex_ids, pairs_to_edges
 from linkgraph.conventions import PR_DAMPING, PR_EPS, PR_MAX_ITERS
 
 
-def incremental_rank_poll(
+def _extend_dict_and_rank(
     spark: SparkSession,
-    pages_path: str,
     state_dir: str,
-    damping: float = PR_DAMPING,
-    eps: float = PR_EPS,
-    max_iters: int = PR_MAX_ITERS,
-    partitions: int = 32,
+    pairs: DataFrame,
+    candidate_urls: DataFrame,
+    damping: float,
+    eps: float,
+    max_iters: int,
+    partitions: int,
+    t0: float,
+    extra: dict | None = None,
 ) -> dict:
-    """Run one ingest+re-rank poll; returns a metrics dict (one JSON-able
-    row per poll: urls/edges seen, iterations to convergence, seconds)."""
+    """Shared poll core: extend the stable dictionary with
+    ``candidate_urls``, derive edges from ``pairs`` (the batch rule —
+    ``build.pairs_to_edges``), warm-start PageRank from the previous
+    poll's ranks, and commit dict + ranks via staged swaps."""
     from linkgraph.algos import pagerank
     from linkgraph.io import committed_overwrite, read_committed_or_none
-    from linkgraph.streaming import current_edge_pairs, run_edge_ingest_once
-
-    t0 = time.monotonic()
-    log = run_edge_ingest_once(
-        spark, pages_path, f"{state_dir}/pairlog", f"{state_dir}/ingest_ckpt"
-    )
-    pairs = current_edge_pairs(log)
 
     # stable dictionary: known urls keep ids; novel urls appended above max.
     # Materialize (localCheckpoint) BEFORE replacing the parquet it was
@@ -66,12 +77,9 @@ def incremental_rank_poll(
     existing = read_committed_or_none(spark, dict_path, "id long, url string")
     if existing is None:
         existing = spark.createDataFrame([], "id long, url string")
-    urls = pairs.select(F.col("src_url").alias("url")).unionByName(
-        pairs.select(F.col("dst_url").alias("url"))
-    )
-    dictionary = extend_vertex_ids(existing, urls, partitions=partitions).localCheckpoint(
-        eager=True
-    )
+    dictionary = extend_vertex_ids(
+        existing, candidate_urls, partitions=partitions
+    ).localCheckpoint(eager=True)
     n_urls = dictionary.count()
     if n_urls == 0:
         # crawler hasn't produced a single page yet: nothing to rank, and
@@ -81,6 +89,7 @@ def incremental_rank_poll(
         return {
             "urls": 0, "edges": 0, "iterations": 0,
             "warm_started": False, "seconds": round(time.monotonic() - t0, 3),
+            **(extra or {}),
         }
     committed_overwrite(spark, dictionary, dict_path)
 
@@ -119,4 +128,71 @@ def incremental_rank_poll(
         "iterations": res.iterations,
         "warm_started": init_ranks is not None,
         "seconds": round(time.monotonic() - t0, 3),
+        **(extra or {}),
     }
+
+
+def incremental_rank_poll(
+    spark: SparkSession,
+    pages_path: str,
+    state_dir: str,
+    damping: float = PR_DAMPING,
+    eps: float = PR_EPS,
+    max_iters: int = PR_MAX_ITERS,
+    partitions: int = 32,
+) -> dict:
+    """Run one ingest+re-rank poll over the append-only pair log; returns
+    a metrics dict (one JSON-able row per poll: urls/edges seen,
+    iterations to convergence, seconds)."""
+    from linkgraph.streaming import current_edge_pairs, run_edge_ingest_once
+
+    t0 = time.monotonic()
+    log = run_edge_ingest_once(
+        spark, pages_path, f"{state_dir}/pairlog", f"{state_dir}/ingest_ckpt"
+    )
+    pairs = current_edge_pairs(log)
+    urls = pairs.select(F.col("src_url").alias("url")).unionByName(
+        pairs.select(F.col("dst_url").alias("url"))
+    )
+    return _extend_dict_and_rank(
+        spark, state_dir, pairs, urls, damping, eps, max_iters, partitions, t0
+    )
+
+
+def link_store_rank_poll(
+    spark: SparkSession,
+    pages_path: str,
+    state_dir: str,
+    damping: float = PR_DAMPING,
+    eps: float = PR_EPS,
+    max_iters: int = PR_MAX_ITERS,
+    partitions: int = 32,
+    buckets: int = 64,
+) -> dict:
+    """One poll against the incrementally-maintained ``LinkStore``:
+    identical dict ids and converged ranks to ``incremental_rank_poll``
+    over the same crawl (tested), but latest-view maintenance costs
+    O(new rows + touched buckets) instead of O(full crawl history), and
+    the dictionary-extension scan sees only the touched buckets' urls."""
+    from linkgraph.linkstore import LinkStore
+
+    t0 = time.monotonic()
+    store = LinkStore(spark, f"{state_dir}/links", buckets=buckets)
+    store.ingest(pages_path)
+    mstats = store.merge()
+    candidates = store.changed_urls(mstats["touched_buckets"])
+    return _extend_dict_and_rank(
+        spark,
+        state_dir,
+        store.current_pairs(),
+        candidates,
+        damping,
+        eps,
+        max_iters,
+        partitions,
+        t0,
+        extra={
+            "new_rows": mstats["new_rows"],
+            "touched_buckets": len(mstats["touched_buckets"]),
+        },
+    )

@@ -1,0 +1,278 @@
+"""Incrementally-maintained latest-crawl link store.
+
+The naive incremental loop derives the latest-crawl view by scanning the
+ENTIRE append-only pair log every poll (``streaming.current_edge_pairs``)
+— a per-poll cost that grows with crawl HISTORY, not graph size, which is
+what dies first on a continuous web-scale crawl (the log is a strict
+superset of the graph: every re-crawl appends its full outlink set
+forever). This module materializes the latest view once and then keeps it
+current with per-poll cost **O(new rows + touched buckets)**:
+
+    root/
+      deltas/d=N/     per-poll raw pair rows (the streaming sink's target
+                      for poll N — availableNow micro-batches, so each
+                      poll's dir holds exactly the rows ingested since the
+                      previous poll; the shared stream checkpoint
+                      guarantees each page file is extracted once overall)
+      latest/lb=K/    the CURRENT winner rows, hive-partitioned by
+                      lb = pmod(xxhash64(src_url), buckets)
+      latest.aside/   bucket dirs renamed aside mid-swap (repair state)
+      _meta           {"merged_through": N, "buckets": B}
+
+A merge takes the unmerged delta rows, computes which ``lb`` buckets they
+touch, reads ONLY those partitions of ``latest/`` (partition-pruned scan),
+re-runs the per-src winner rule — ``max (warc_ts, crawl_fp)``, the same
+tie-break as the batch path — over (current winners ∪ new rows), and
+swaps just the touched bucket directories. Untouched buckets are never
+read or written, so steady-state poll cost tracks the CRAWL RATE, not the
+corpus: at 10^12 documents with a few million pages re-crawled per poll,
+the merge reads a few percent of the buckets while the other ~97% of the
+store sits cold on disk.
+
+Crash safety rides on ALGEBRA, not filesystem atomicity: the winner rule
+is an idempotent, commutative, monotone max — re-merging an
+already-merged delta over the already-swapped bucket reproduces the same
+rows (a tombstone or a newer crawl can never be un-won by replaying older
+rows). ``_meta.merged_through`` only ADVANCES after every touched bucket
+is swapped, so any crash simply replays the merge; the one non-idempotent
+window — a bucket dir mid-rename — is covered by the rename-aside
+protocol plus ``_repair_asides`` (at most one bucket can be mid-swap, and
+its complete pre-swap content sits in ``latest.aside`` until the swap
+completes). Losing ``_meta`` entirely degrades to re-merging every
+retained delta: wasteful, never wrong.
+
+Tombstone rows (``dst_url IS NULL`` — a re-crawled page that died or lost
+all links) are RETAINED in ``latest/``: they must keep winning the max so
+a replayed older delta cannot resurrect the dead page's edges; readers
+filter them out (same order of operations as the batch view).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linkgraph.engine import (
+    fs_delete,
+    fs_exists,
+    fs_list_names,
+    fs_mkdirs,
+    fs_read_text,
+    fs_rename,
+    fs_write_text,
+)
+from linkgraph.io import read_parquet_or_empty
+
+PAIR_COLS = "src_url string, warc_ts timestamp, crawl_fp string, dst_url string"
+_LATEST_SCHEMA = PAIR_COLS + ", lb int"
+
+
+def latest_rows(rows: DataFrame) -> DataFrame:
+    """THE winner rule, shared with the batch view: keep each src_url's
+    rows from its max (warc_ts, crawl_fp) crawl — crawl_fp breaks
+    timestamp ties exactly as ``streaming.current_edge_pairs`` and the
+    batch ``latest_snapshot`` do, so no path can diverge on a collision.
+    Tombstones (dst_url NULL) are kept; dedup absorbs replayed rows."""
+    w = rows.groupBy("src_url").agg(F.max(F.struct("warc_ts", "crawl_fp")).alias("w"))
+    winner = w.select(
+        "src_url", F.col("w.warc_ts").alias("warc_ts"), F.col("w.crawl_fp").alias("crawl_fp")
+    )
+    return (
+        rows.join(winner, ["src_url", "warc_ts", "crawl_fp"], "left_semi")
+        # replayed deltas re-contribute rows the store already holds
+        .dropDuplicates(["src_url", "warc_ts", "crawl_fp", "dst_url"])
+    )
+
+
+class LinkStore:
+    def __init__(self, spark: SparkSession, root: str, buckets: int = 64):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.deltas_dir = f"{self.root}/deltas"
+        self.latest_dir = f"{self.root}/latest"
+        self.aside_dir = f"{self.root}/latest.aside"
+        self.staging_dir = f"{self.root}/latest.staging"
+        self.meta_path = f"{self.root}/_meta"
+        meta = self._read_meta()
+        if meta is not None and meta["buckets"] != buckets:
+            raise ValueError(
+                f"LinkStore at {self.root} was built with buckets="
+                f"{meta['buckets']}, opened with buckets={buckets}; a bucket-"
+                "count change re-keys every partition — rebuild explicitly"
+            )
+        self.buckets = buckets
+
+    # ------------------------------------------------------------- metadata
+    def _read_meta(self) -> dict | None:
+        if not fs_exists(self.spark, self.meta_path):
+            return None
+        return json.loads(fs_read_text(self.spark, self.meta_path))
+
+    def _write_meta(self, merged_through: int) -> None:
+        # staged: a crash mid-write must not leave truncated JSON. Losing
+        # the rename race window (delete done, rename not) degrades to
+        # "meta missing" = re-merge all retained deltas — idempotent.
+        tmp = self.meta_path + ".tmp"
+        fs_write_text(
+            self.spark,
+            tmp,
+            json.dumps({"merged_through": merged_through, "buckets": self.buckets}),
+        )
+        fs_delete(self.spark, self.meta_path)
+        if not fs_rename(self.spark, tmp, self.meta_path):
+            raise IOError(f"LinkStore: rename {tmp} -> {self.meta_path} failed")
+
+    def merged_through(self) -> int:
+        meta = self._read_meta()
+        return meta["merged_through"] if meta is not None else -1
+
+    def _delta_indices(self) -> list[int]:
+        return sorted(
+            int(n.split("=", 1)[1])
+            for n in fs_list_names(self.spark, self.deltas_dir)
+            if n.startswith("d=")
+        )
+
+    def _lb(self, col):
+        return F.pmod(F.xxhash64(col), F.lit(self.buckets)).cast("int")
+
+    # -------------------------------------------------------------- ingest
+    def ingest(self, pages_path: str) -> int:
+        """Drive the streaming link extraction over any new page files into
+        this poll's delta dir (plain-parquet batch appends — see
+        ``streaming.run_edge_ingest_batches`` for why the streaming sink
+        can't target per-poll dirs, and why at-least-once is enough here);
+        returns the target delta index. If a previous poll crashed before
+        merging, its delta dir is REUSED so the unmerged backlog stays in
+        one place."""
+        from linkgraph.streaming import run_edge_ingest_batches
+
+        done = self.merged_through()
+        unmerged = [i for i in self._delta_indices() if i > done]
+        target = max(unmerged) if unmerged else done + 1
+        run_edge_ingest_batches(
+            self.spark,
+            pages_path,
+            f"{self.deltas_dir}/d={target}",
+            f"{self.root}/ingest_ckpt",
+        )
+        return target
+
+    # --------------------------------------------------------------- merge
+    def _repair_asides(self) -> None:
+        """Complete any bucket swap a crash interrupted. Invariant from the
+        swap order below: for each bucket, EITHER latest/lb=K exists and is
+        complete (aside is stale residue — drop it) OR only the aside holds
+        the bucket's pre-swap content (the swap died between its two
+        renames — restore it; the merge will redo that bucket)."""
+        for name in fs_list_names(self.spark, self.aside_dir):
+            if not name.startswith("lb="):
+                continue
+            live = f"{self.latest_dir}/{name}"
+            aside = f"{self.aside_dir}/{name}"
+            if fs_exists(self.spark, live):
+                fs_delete(self.spark, aside)
+            elif not fs_rename(self.spark, aside, live):
+                raise IOError(f"LinkStore: repair rename {aside} -> {live} failed")
+
+    def _read_latest(self, touched: list[int] | None = None) -> DataFrame:
+        df = read_parquet_or_empty(self.spark, self.latest_dir, _LATEST_SCHEMA)
+        if touched is not None:
+            # partition filter on the hive key: Spark prunes to the touched
+            # bucket directories — the scan never opens an untouched bucket
+            df = df.filter(F.col("lb").isin([int(k) for k in touched]))
+        return df
+
+    def merge(self, keep_deltas: int = 4) -> dict:
+        """Fold all unmerged deltas into ``latest/``; returns merge stats.
+        Safe to call after any crash — see the module docstring's
+        idempotence argument."""
+        self._repair_asides()
+        done = self.merged_through()
+        unmerged = [i for i in self._delta_indices() if i > done]
+        if not unmerged:
+            return {"new_rows": 0, "touched_buckets": [], "merged_through": done}
+
+        new = None
+        for i in unmerged:
+            part = read_parquet_or_empty(
+                self.spark, f"{self.deltas_dir}/d={i}", PAIR_COLS
+            )
+            new = part if new is None else new.unionByName(part)
+        new = new.withColumn("lb", self._lb(F.col("src_url"))).localCheckpoint(eager=True)
+        n_new = new.count()
+        high = max(unmerged)
+        if n_new == 0:
+            self._write_meta(high)
+            self._prune_deltas(high, keep_deltas)
+            return {"new_rows": 0, "touched_buckets": [], "merged_through": high}
+
+        touched = sorted(
+            r["lb"] for r in new.select("lb").distinct().collect()
+        )  # bounded by self.buckets — driver-side metadata, like BFS sources
+        cur = self._read_latest(touched)
+        merged = latest_rows(cur.unionByName(new)).withColumn(
+            "lb", self._lb(F.col("src_url"))
+        )
+
+        fs_delete(self.spark, self.staging_dir)
+        merged.write.partitionBy("lb").mode("overwrite").parquet(self.staging_dir)
+
+        fs_mkdirs(self.spark, self.latest_dir)
+        fs_mkdirs(self.spark, self.aside_dir)
+        for k in touched:
+            name = f"lb={k}"
+            live, aside = f"{self.latest_dir}/{name}", f"{self.aside_dir}/{name}"
+            staged = f"{self.staging_dir}/{name}"
+            if not fs_exists(self.spark, staged):
+                # cannot happen: a touched bucket has ≥1 new row, whose
+                # src's winning crawl emits ≥1 winner row (tombstones are
+                # rows too) — a missing staged dir means the write lied
+                raise IOError(f"LinkStore: staged bucket {staged} missing after write")
+            fs_delete(self.spark, aside)
+            if fs_exists(self.spark, live) and not fs_rename(self.spark, live, aside):
+                raise IOError(f"LinkStore: rename {live} -> {aside} failed")
+            if not fs_rename(self.spark, staged, live):
+                raise IOError(f"LinkStore: rename {staged} -> {live} failed")
+            fs_delete(self.spark, aside)
+        fs_delete(self.spark, self.staging_dir)
+
+        self._write_meta(high)
+        self._prune_deltas(high, keep_deltas)
+        return {"new_rows": n_new, "touched_buckets": touched, "merged_through": high}
+
+    def _prune_deltas(self, merged_through: int, keep: int) -> None:
+        """Merged deltas are replay fuel, not live state — keep the last
+        ``keep`` for post-crash re-merges and debugging, delete the rest
+        (an unbounded crawl would otherwise accumulate O(history) storage,
+        the exact disease this store cures)."""
+        merged = [i for i in self._delta_indices() if i <= merged_through]
+        for i in merged[: max(0, len(merged) - keep)]:
+            fs_delete(self.spark, f"{self.deltas_dir}/d={i}")
+
+    # -------------------------------------------------------------- readers
+    def current_pairs(self) -> DataFrame:
+        """The full latest-crawl (src_url, dst_url) view — same contract as
+        ``streaming.current_edge_pairs`` over the complete log."""
+        return (
+            self._read_latest()
+            .filter(F.col("dst_url").isNotNull())
+            .select("src_url", "dst_url")
+            .distinct()
+        )
+
+    def changed_urls(self, touched: list[int]) -> DataFrame:
+        """Distinct urls appearing in the touched buckets' CURRENT winner
+        rows — the only urls a poll can have introduced, which is all the
+        id dictionary needs to see (winner-restricted so the dictionary
+        matches what a full-log rebuild would produce)."""
+        if not touched:
+            return self.spark.createDataFrame([], "url string")
+        rows = self._read_latest(touched).filter(F.col("dst_url").isNotNull())
+        return (
+            rows.select(F.col("src_url").alias("url"))
+            .unionByName(rows.select(F.col("dst_url").alias("url")))
+            .distinct()
+        )

@@ -326,6 +326,42 @@ def current_edge_pairs(pairs: DataFrame) -> DataFrame:
     )
 
 
+def run_edge_ingest_batches(
+    spark: SparkSession,
+    pages_path: str,
+    out_dir: str,
+    checkpoint_location: str,
+) -> None:
+    """Like ``run_edge_ingest_once`` but sinks each micro-batch as a PLAIN
+    parquet append (foreachBatch) instead of the streaming parquet sink.
+
+    Needed when the target dir changes between polls (LinkStore's per-poll
+    delta dirs): the streaming sink's ``_spark_metadata`` log is numbered
+    by the checkpoint's GLOBAL batch id, so a fresh sink dir whose first
+    batch id is nonzero is unreadable to batch readers (missing log entry
+    0). Plain appends drop the sink-side exactly-once dedup — a batch
+    replayed after a crash lands twice — which is exactly the contract the
+    LinkStore merge is built for: its winner rule + row dedup make
+    duplicate delta rows a no-op, so at-least-once here is sufficient."""
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(pages_path)
+    )
+
+    def write_batch(df: DataFrame, _batch_id: int) -> None:
+        df.write.mode("append").parquet(out_dir)
+
+    q = (
+        extract_pairs_stream(stream)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_location)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_edge_ingest_once(
     spark: SparkSession,
     pages_path: str,
