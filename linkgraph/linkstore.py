@@ -23,11 +23,15 @@ A merge takes the unmerged delta rows, computes which ``lb`` buckets they
 touch, reads ONLY those partitions of ``latest/`` (partition-pruned scan),
 re-runs the per-src winner rule — ``max (warc_ts, crawl_fp)``, the same
 tie-break as the batch path — over (current winners ∪ new rows), and
-swaps just the touched bucket directories. Untouched buckets are never
-read or written, so steady-state poll cost tracks the CRAWL RATE, not the
-corpus: at 10^12 documents with a few million pages re-crawled per poll,
-the merge reads a few percent of the buckets while the other ~97% of the
-store sits cold on disk.
+swaps just the touched bucket directories. Two bounds, in order of
+importance: (1) merge cost is bounded by the CURRENT CORPUS — never by
+crawl history, which the log-scanning variant pays and which grows
+without bound; (2) when a poll's changed srcs are few relative to the
+bucket count (poll often, or crawl locality), untouched buckets are never
+read or written, so the common small poll costs O(new + touched bucket
+bytes). Under uniform hashing a poll changing n srcs touches
+~B·(1-(1-1/B)^n) buckets — size B so the steady-state poll's n stays
+well under it.
 
 Crash safety rides on ALGEBRA, not filesystem atomicity: the winner rule
 is an idempotent, commutative, monotone max — re-merging an
