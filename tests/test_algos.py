@@ -413,6 +413,70 @@ def test_sem_layout_reuse_refuses_mismatched_image(
         )
 
 
+def test_sem_disk_block_cache_publishes_and_serves(
+    spark, wiki_edges_df, wiki_vertices_df, tmp_path
+):
+    """Manifested sem layouts spill their COMPILED index blocks to the host
+    scratch dir (the FlashGraph node-local-image pattern): after a run the
+    content-addressed dir holds one complete part dir per edge-bearing
+    block; a second run (fresh token, cold in-memory caches) served from
+    those mmap'd blocks produces bit-identical ranks; and a damaged block
+    dir is dropped + republished rather than poisoning the cache."""
+    import os
+    import shutil
+
+    from linkgraph.algos.pagerank import _SEM_BLOCK_NAMES, _sem_disk_dir
+    from linkgraph.build import edge_fingerprint, gather_layout
+
+    layout = str(tmp_path / "sem_image_disk")
+    first = pagerank(
+        spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=3, eps=0.0,
+        kernel="sem", partitions=8, layout_dir=layout,
+    )
+    # reconstruct the content address exactly as _make_sem_step does: the
+    # fingerprint is taken over the gather_layout'd edge cache (count +
+    # order-insensitive checksum — partitioning-invariant, so computing it
+    # on a fresh layout here matches)
+    laid = gather_layout(wiki_edges_df, 8)
+    try:
+        n, chk = edge_fingerprint(laid)
+    finally:
+        laid.unpersist()
+    from linkgraph.conventions import HUB_OUTDEG_THRESHOLD
+
+    disk_dir = _sem_disk_dir(
+        layout,
+        {
+            "partitions": 8,
+            "hub_threshold": int(HUB_OUTDEG_THRESHOLD),
+            "edges": n,
+            "checksum": chk,
+        },
+    )
+    part_dirs = sorted(
+        d for d in os.listdir(disk_dir) if d.startswith("part") and ".tmp" not in d
+    )
+    assert part_dirs, f"no compiled blocks published under {disk_dir}"
+    for d in part_dirs:
+        names = set(os.listdir(os.path.join(disk_dir, d)))
+        assert names == {f"{c}.npy" for c in _SEM_BLOCK_NAMES}, (d, names)
+
+    # damage one published block: the loader must drop + rebuild it
+    victim = os.path.join(disk_dir, part_dirs[0])
+    os.remove(os.path.join(victim, "src_uniq.npy"))
+
+    second = pagerank(
+        spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=3, eps=0.0,
+        kernel="sem", partitions=8, layout_dir=layout, reuse_layout=True,
+    )
+    a = first.state.select("id", "rank").toPandas().sort_values("id")["rank"].to_numpy()
+    b = second.state.select("id", "rank").toPandas().sort_values("id")["rank"].to_numpy()
+    assert np.allclose(a, b, rtol=0, atol=1e-12)
+    assert os.path.isdir(victim), "damaged block was not republished"
+    assert os.path.exists(os.path.join(victim, "src_uniq.npy"))
+    shutil.rmtree(disk_dir, ignore_errors=True)  # keep the shared scratch tidy
+
+
 def test_pagerank_warm_start_converges_faster_same_fixpoint(
     spark, wiki_edges_df, wiki_vertices_df
 ):
