@@ -98,29 +98,55 @@ def _pagerank_sql(iters: int) -> str:
 # --------------------------------------------------------------- graph layer
 
 def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 per-vertex degrees + the log2-binned out-degree histogram
+    (power-law diagnostic) in ONE tagged result over one edge scan — the
+    set_ops merge pattern, freeing a registry slot (README driver-window
+    contract). sect='deg': k=id, a=out_deg, b=in_deg; sect='hist':
+    k=bucket (len(bin(out_deg))-1, integer-exact on both engines),
+    a=n_vertices, b=0."""
     e = lineitem_edges(spark, sf_dir)
     out_deg = e.groupBy(F.col("src_id").alias("id")).agg(F.count(F.lit(1)).alias("out_deg"))
     in_deg = e.groupBy(F.col("dst_id").alias("id")).agg(F.count(F.lit(1)).alias("in_deg"))
-    return (
+    degrees = (
         vertex_ids_from_edges(e)
         .join(out_deg, "id", "left")
         .join(in_deg, "id", "left")
         .select(
-            "id",
-            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
-            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+            F.lit("deg").alias("sect"),
+            F.col("id").alias("k"),
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("a"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("b"),
         )
     )
+    hist = (
+        out_deg.select(
+            (F.length(F.bin("out_deg")) - 1).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+        .select(
+            F.lit("hist").alias("sect"),
+            F.col("bucket").alias("k"),
+            F.col("n_vertices").cast("long").alias("a"),
+            F.lit(0).cast("long").alias("b"),
+        )
+    )
+    return degrees.unionByName(hist)
 
 
 _DEGREES_SQL = f"""
-WITH {_EDGES_SQL.strip()}, {_VERTS_SQL.strip()}
-SELECT v.id,
-       COALESCE(o.out_deg, 0) AS out_deg,
-       COALESCE(i.in_deg, 0) AS in_deg
+WITH {_EDGES_SQL.strip()}, {_VERTS_SQL.strip()},
+od AS (SELECT src_id AS id, COUNT(*) AS out_deg FROM edges GROUP BY src_id)
+SELECT 'deg' AS sect, v.id AS k,
+       COALESCE(o.out_deg, 0) AS a,
+       COALESCE(i.in_deg, 0) AS b
 FROM verts v
-LEFT JOIN (SELECT src_id AS id, COUNT(*) AS out_deg FROM edges GROUP BY src_id) o ON o.id = v.id
+LEFT JOIN od o ON o.id = v.id
 LEFT JOIN (SELECT dst_id AS id, COUNT(*) AS in_deg FROM edges GROUP BY dst_id) i ON i.id = v.id
+UNION ALL
+SELECT 'hist' AS sect, CAST(LENGTH(BIN(out_deg)) - 1 AS BIGINT) AS k,
+       COUNT(*) AS a, CAST(0 AS BIGINT) AS b
+FROM od GROUP BY 2
 """
 
 
@@ -516,28 +542,83 @@ LEFT JOIN degs d ON d.id = v.id
 """
 
 
-def q_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Log2-binned out-degree histogram (power-law diagnostic). The bucket
-    is computed integer-exactly as len(bin(deg)) - 1 on both engines — no
-    float log2 boundary risk."""
-    e = lineitem_edges(spark, sf_dir)
-    out_deg = e.groupBy("src_id").agg(F.count(F.lit(1)).alias("out_deg"))
-    return (
-        out_deg.select(
-            (F.length(F.bin("out_deg")) - 1).cast("long").alias("bucket")
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph roll-up + weighted host PageRank (linkgraph/hostgraph.py)
+    over a deterministic url-pair view of lineitem: page p maps to url
+    https://site{p % 50}.example/p{p}, one pair row PER LINEITEM ROW (link
+    multiplicity becomes the host-edge weight). Intra-host links dropped —
+    the Common-Crawl-style host-authority product. 3 fixed iterations,
+    rounded; the DuckDB oracle mirrors the url construction, the SAME
+    host regex, the roll-up, and the weighted gather's fp op order."""
+    from linkgraph.hostgraph import host_pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+
+    def _url(page_col):
+        return F.concat(
+            F.lit("https://site"),
+            (page_col % 50).cast("string"),
+            F.lit(".example/p"),
+            page_col.cast("string"),
         )
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_vertices"))
+
+    pairs = li.select(
+        _url((F.col("l_orderkey") % N_GRAPH).cast("long")).alias("src_url"),
+        _url((F.col("l_partkey") % N_GRAPH).cast("long")).alias("dst_url"),
     )
+    out = host_pagerank(spark, pairs, max_iters=3, eps=0.0)
+    return out.select("host", F.round("rank", 6).alias("rank"))
 
 
-_DEG_HIST_SQL = f"""
-WITH {_EDGES_SQL.strip()},
-od AS (SELECT src_id, COUNT(*) AS out_deg FROM edges GROUP BY src_id)
-SELECT CAST(LENGTH(BIN(out_deg)) - 1 AS BIGINT) AS bucket,
-       COUNT(*) AS n_vertices
-FROM od GROUP BY 1
-"""
+def _host_pagerank_sql(iters: int) -> str:
+    from linkgraph.hostgraph import HOST_RE
+
+    url = (
+        "'https://site' || CAST(({p} % {n}) % 50 AS VARCHAR) || "
+        "'.example/p' || CAST({p} % {n} AS VARCHAR)"
+    )
+    src_url = url.format(p="l_orderkey", n=N_GRAPH)
+    dst_url = url.format(p="l_partkey", n=N_GRAPH)
+    ctes = [
+        f"""pairs AS (
+    SELECT {src_url} AS src_url, {dst_url} AS dst_url FROM lineitem
+)""",
+        f"""hp AS (
+    SELECT regexp_extract(src_url, '{HOST_RE}', 1) AS src_host,
+           regexp_extract(dst_url, '{HOST_RE}', 1) AS dst_host
+    FROM pairs
+)""",
+        """hedges AS (
+    SELECT src_host, dst_host, CAST(COUNT(*) AS DOUBLE) AS w
+    FROM hp
+    WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+    GROUP BY 1, 2
+)""",
+        """hverts AS (
+    SELECT DISTINCT h FROM (
+        SELECT src_host AS h FROM hedges UNION ALL SELECT dst_host AS h FROM hedges
+    )
+)""",
+        "outw AS (SELECT src_host AS h, SUM(w) AS out_w FROM hedges GROUP BY 1)",
+        "r0 AS (SELECT h, CAST(0.15 AS DOUBLE) AS rank FROM hverts)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""r{k} AS (
+    SELECT v.h, 0.15 + 0.85 * COALESCE(s.sum_contrib, 0) AS rank
+    FROM hverts v LEFT JOIN (
+        SELECT e.dst_host AS h, SUM(r.rank / d.out_w * e.w) AS sum_contrib
+        FROM hedges e
+        JOIN r{k - 1} r ON e.src_host = r.h
+        JOIN outw d ON d.h = e.src_host
+        GROUP BY e.dst_host
+    ) s ON s.h = v.h
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT h AS host, ROUND(rank, 6) AS rank FROM r{iters}"
+    )
 
 
 def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1527,7 +1608,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_lp_3round": q_graph_lp_3round,
     "graph_triangles": q_graph_triangles,
     "graph_clustering_coeff": q_graph_clustering_coeff,
-    "graph_degree_histogram": q_graph_degree_histogram,
+    "host_pagerank": q_host_pagerank,
     "graph_bfs": q_graph_bfs,
     "graph_global_stats": q_graph_global_stats,
     "graph_kcore": q_graph_kcore,
@@ -1586,7 +1667,7 @@ ORACLE_SQL: dict[str, str] = {
     "graph_lp_3round": _lp_sql(LP_ORACLE_ROUNDS),
     "graph_triangles": _TRI_SQL,
     "graph_clustering_coeff": _CC_SQL,
-    "graph_degree_histogram": _DEG_HIST_SQL,
+    "host_pagerank": _host_pagerank_sql(3),
     "graph_bfs": _BFS_SQL,
     "graph_global_stats": _GLOBAL_STATS_SQL,
     "graph_kcore": _KCORE_SQL,
