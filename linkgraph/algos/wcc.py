@@ -112,20 +112,31 @@ def _neighborhoods(e: DataFrame) -> DataFrame:
     )
 
 
-def _large_star(e: DataFrame) -> DataFrame:
+def _large_star(e: DataFrame, dedup: bool = True) -> DataFrame:
     """For each center u with m = min(N(u) ∪ {u}): link every neighbor
     v > u to m (Kiveris et al., "Connected Components in MapReduce and
-    Beyond", alternating algorithm)."""
+    Beyond", alternating algorithm).
+
+    ``dedup`` controls the INTERMEDIATE distinct only (small-star's output
+    distinct is the round's contract — the fixpoint checksum runs on a
+    deduped multiset). The intermediate is bounded at one row per
+    (center, >-neighbor) pair — <= 2|E| with or without dedup, and each
+    round's deduped OUTPUT resets the bound, so skipping it cannot
+    compound across rounds; duplicates pass harmlessly through
+    small-star's min-agg and are removed by its output distinct.
+    Interleaved A/B on the 5M-edge bench graph (jobs/ab_wccstar_dedup.py,
+    checksum-equal arms): skipping the shuffle is 27% faster per fixpoint
+    (18.7s vs 25.4s min-of-2), hence the default; BENCH/BASELINE.md."""
     nb = _neighborhoods(e)
     m = nb.groupBy("src_id").agg(F.min("dst_id").alias("__mn"))
     m = m.select("src_id", F.least("__mn", "src_id").alias("__m"))
-    return (
+    out = (
         nb.filter(F.col("dst_id") > F.col("src_id"))
         .join(m, "src_id")
         .select(F.col("dst_id").alias("src_id"), F.col("__m").alias("dst_id"))
         .filter(F.col("src_id") != F.col("dst_id"))
-        .distinct()
     )
+    return out.distinct() if dedup else out
 
 
 def _small_star(e: DataFrame) -> DataFrame:
@@ -151,6 +162,7 @@ def wcc_star(
     max_iters: int = 50,
     engine: SuperstepEngine | None = None,
     resume: bool = False,
+    dedup_intermediate: bool = False,
 ) -> RunResult:
     """WCC by alternating large-star/small-star contraction — O(log n)
     rounds instead of O(diameter), the right kernel for web-scale graphs
@@ -172,7 +184,7 @@ def wcc_star(
     ids = vertices.select("id") if vertices is not None else vertex_ids_from_edges(edges)
 
     def step(e: DataFrame, iteration: int) -> DataFrame:
-        return _small_star(_large_star(e))
+        return _small_star(_large_star(e, dedup=dedup_intermediate))
 
     prev: dict[str, tuple] = {}
     converged = {"ok": False}
