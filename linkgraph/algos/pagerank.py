@@ -475,26 +475,45 @@ _SEM_CACHE_CAP = 16
 # the next store. Only manifested layouts (reusable images) participate —
 # a run-private temp layout dies with its run, so spilling it buys nothing.
 _SEM_BLOCK_NAMES = ("src_uniq", "src_inv", "dst_uniq", "dst_inv")
+# orphaned cache dirs (transient layout_dirs that never recur — pytest
+# tmp_paths, one-off jobs) are reclaimed by age at store time
+_SEM_DISK_TTL_SEC = 7 * 24 * 3600
 
 
-def _sem_disk_dir(layout_dir: str, fingerprint: dict) -> str:
+def _sem_disk_key(layout_dir: str, fingerprint: dict) -> str:
+    """Content address of a compiled image: <layout_dir hash>-<fingerprint
+    hash>. A KEY, not a path — the scratch root is resolved on the WORKER
+    (driver and executor hosts need not share a tmp layout)."""
     import hashlib
-    import os
-    import tempfile
 
     lh = hashlib.sha1(layout_dir.encode()).hexdigest()[:12]
     fh = hashlib.sha1(
         json.dumps(fingerprint, sort_keys=True).encode()
     ).hexdigest()[:12]
-    return os.path.join(
-        tempfile.gettempdir(), "linkgraph_sem_blocks", f"{lh}-{fh}"
-    )
+    return f"{lh}-{fh}"
 
 
-def _disk_block_load(disk_dir: str, part: int) -> tuple | None:
+def _sem_disk_root() -> str:
+    """Per-user scratch root, created 0700: a world-shared predictable
+    /tmp path would let any local user pre-plant crafted .npy blocks
+    (silently wrong ranks) or squat the dir to disable the store."""
     import os
+    import tempfile
 
-    d = os.path.join(disk_dir, f"part{part}")
+    uid = os.getuid() if hasattr(os, "getuid") else "w"
+    root = os.path.join(tempfile.gettempdir(), f"linkgraph_sem_blocks-u{uid}")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    return root
+
+
+def _disk_block_load(disk_key: str, part: int) -> tuple | None:
+    import os
+    import shutil
+
+    try:
+        d = os.path.join(_sem_disk_root(), disk_key, f"part{part}")
+    except OSError:
+        return None
     if not os.path.isdir(d):
         return None
     try:
@@ -504,41 +523,62 @@ def _disk_block_load(disk_dir: str, part: int) -> tuple | None:
             np.load(os.path.join(d, n + ".npy"), mmap_mode="r")
             for n in _SEM_BLOCK_NAMES
         )
-    except Exception:
-        # a published dir is complete (atomic rename), so an unreadable one
-        # is damaged — drop it so the rebuild below can republish instead
-        # of every future cold worker paying the miss path forever
-        import shutil
-
+    except (FileNotFoundError, ValueError, EOFError):
+        # a published dir is complete (atomic rename), so a missing or
+        # malformed .npy means damage — drop the dir so the rebuild can
+        # republish instead of every cold worker missing forever
         shutil.rmtree(d, ignore_errors=True)
+        return None
+    except OSError:
+        # transient resource pressure (EMFILE/ENOMEM): the dir is very
+        # likely fine — do NOT destroy the host-shared cache, just miss
         return None
 
 
-def _disk_block_store(disk_dir: str, part: int, blk: tuple) -> None:
+def _disk_block_store(disk_key: str, part: int, blk: tuple) -> None:
     import os
     import shutil
+    import time
     import uuid
 
     # best-effort: the disk store is an accelerator — any IO failure here
     # must never fail the superstep, the in-memory block is already built
     try:
-        root, name = os.path.split(disk_dir)
-        lh = name.split("-", 1)[0]
-        if os.path.isdir(root):
-            for other in os.listdir(root):
-                # sweep superseded fingerprints of the SAME layout_dir (its
-                # image was overwritten — those blocks are unreachable)
-                if other.startswith(lh + "-") and other != name:
-                    shutil.rmtree(os.path.join(root, other), ignore_errors=True)
-        final = os.path.join(disk_dir, f"part{part}")
+        root = _sem_disk_root()
+        lh = disk_key.split("-", 1)[0]
+        now = time.time()
+        for other in os.listdir(root):
+            if other == disk_key:
+                continue
+            other_path = os.path.join(root, other)
+            if other.startswith(lh + "-"):
+                # superseded fingerprint of the SAME layout_dir: its image
+                # was overwritten — those blocks are unreachable
+                shutil.rmtree(other_path, ignore_errors=True)
+            else:
+                # age-based reclaim of orphans (transient layout_dirs that
+                # never recur). A live-but-idle cache dir that gets swept
+                # degrades to one rebuild+republish — never wrong results.
+                try:
+                    if now - os.path.getmtime(other_path) > _SEM_DISK_TTL_SEC:
+                        shutil.rmtree(other_path, ignore_errors=True)
+                except OSError:
+                    pass
+        final = os.path.join(root, disk_key, f"part{part}")
         if os.path.isdir(final):
             return
         tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-        os.makedirs(tmp)
-        for n, a in zip(_SEM_BLOCK_NAMES, blk):
-            np.save(os.path.join(tmp, n + ".npy"), a)
         try:
-            os.rename(tmp, final)  # atomic publish; race loser cleans up below
+            os.makedirs(tmp)
+            for n, a in zip(_SEM_BLOCK_NAMES, blk):
+                np.save(os.path.join(tmp, n + ".npy"), a)
+        except OSError:
+            # disk-full / permission mid-write: remove the partial tmp so
+            # retries don't accumulate half-written dirs
+            shutil.rmtree(tmp, ignore_errors=True)
+            return
+        try:
+            os.rename(tmp, final)  # atomic publish; race loser cleans up
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
     except OSError:
@@ -547,7 +587,7 @@ def _disk_block_store(disk_dir: str, part: int, blk: tuple) -> None:
 
 def _sem_block(
     token: int, part: int, layout_dir: str, has_edges: bool,
-    disk_dir: str | None = None,
+    disk_key: str | None = None,
 ) -> tuple:
     key = (token, part)
     blk = _SEM_BLOCK_CACHE.pop(key, None)
@@ -560,7 +600,7 @@ def _sem_block(
             empty_i32 = np.empty(0, dtype=np.int32)
             blk = (empty_i64, empty_i32, empty_i64, empty_i32)
         else:
-            blk = _disk_block_load(disk_dir, part) if disk_dir else None
+            blk = _disk_block_load(disk_key, part) if disk_key else None
         if blk is None:
             import pyarrow.parquet as pq
 
@@ -583,8 +623,8 @@ def _sem_block(
             src_uniq, src_inv = np.unique(src, return_inverse=True)
             dst_uniq, dst_inv = np.unique(dst, return_inverse=True)
             blk = (src_uniq, src_inv.astype(np.int32), dst_uniq, dst_inv.astype(np.int32))
-            if disk_dir is not None:
-                _disk_block_store(disk_dir, part, blk)
+            if disk_key is not None:
+                _disk_block_store(disk_key, part, blk)
         for k in [k for k in _SEM_BLOCK_CACHE if k[0] != token]:
             del _SEM_BLOCK_CACHE[k]
         while len(_SEM_BLOCK_CACHE) >= _SEM_CACHE_CAP:
@@ -595,7 +635,7 @@ def _sem_block(
 
 def _sem_spmv_factory(damping: float, token: int, layout_dir: str,
                       edge_parts: frozenset[int],
-                      disk_dir: str | None = None):
+                      disk_key: str | None = None):
     """Grouped-map kernel over vertex state ONLY: the adjacency block comes
     from storage via the worker cache, so the per-superstep Arrow transfer
     is O(V_p), not O(E_p) — this is FlashGraph's semi-external-memory
@@ -610,7 +650,7 @@ def _sem_spmv_factory(damping: float, token: int, layout_dir: str,
                                  "contrib": pd.Series(dtype="float64")})
         part = int(key[0])
         src_uniq, src_inv, dst_uniq, dst_inv = _sem_block(
-            token, part, layout_dir, part in edge_parts, disk_dir
+            token, part, layout_dir, part in edge_parts, disk_key
         )
         if len(src_uniq) == 0:
             return pd.DataFrame({"dst_id": pd.Series(dtype="int64"),
@@ -717,10 +757,10 @@ def _make_sem_step(
     # manifested (reusable) images also get the host-local compiled-block
     # store: content-addressed by (layout_dir, fingerprint), so any worker
     # on a host pays the parquet-decode + index build at most once per host
-    disk_dir = (
-        _sem_disk_dir(layout_dir, fingerprint) if fingerprint is not None else None
+    disk_key = (
+        _sem_disk_key(layout_dir, fingerprint) if fingerprint is not None else None
     )
-    kernel = _sem_spmv_factory(damping, token, layout_dir, edge_parts, disk_dir)
+    kernel = _sem_spmv_factory(damping, token, layout_dir, edge_parts, disk_key)
 
     def step(state: DataFrame, iteration: int) -> DataFrame:
         contribs = state.filter(F.col("out_deg") > 0).select(

@@ -14,6 +14,29 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 
 
+@pytest.fixture(scope="session", autouse=True)
+def _clean_sem_scratch():
+    """Tests run sem kernels against unique tmp_path layouts; each one
+    publishes compiled blocks under the per-user scratch root that no
+    later run can ever address again (the layout hash never recurs).
+    Remove the dirs this test session created so suites don't leak."""
+    import shutil
+
+    def _snapshot() -> set[str]:
+        from linkgraph.algos.pagerank import _sem_disk_root
+
+        try:
+            root = _sem_disk_root()
+            return {os.path.join(root, n) for n in os.listdir(root)}
+        except OSError:
+            return set()
+
+    before = _snapshot()
+    yield
+    for d in _snapshot() - before:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 @pytest.fixture(scope="session")
 def spark():
     from linkgraph.session import get_spark

@@ -425,7 +425,11 @@ def test_sem_disk_block_cache_publishes_and_serves(
     import os
     import shutil
 
-    from linkgraph.algos.pagerank import _SEM_BLOCK_NAMES, _sem_disk_dir
+    from linkgraph.algos.pagerank import (
+        _SEM_BLOCK_NAMES,
+        _sem_disk_key,
+        _sem_disk_root,
+    )
     from linkgraph.build import edge_fingerprint, gather_layout
 
     layout = str(tmp_path / "sem_image_disk")
@@ -444,14 +448,17 @@ def test_sem_disk_block_cache_publishes_and_serves(
         laid.unpersist()
     from linkgraph.conventions import HUB_OUTDEG_THRESHOLD
 
-    disk_dir = _sem_disk_dir(
-        layout,
-        {
-            "partitions": 8,
-            "hub_threshold": int(HUB_OUTDEG_THRESHOLD),
-            "edges": n,
-            "checksum": chk,
-        },
+    disk_dir = os.path.join(
+        _sem_disk_root(),
+        _sem_disk_key(
+            layout,
+            {
+                "partitions": 8,
+                "hub_threshold": int(HUB_OUTDEG_THRESHOLD),
+                "edges": n,
+                "checksum": chk,
+            },
+        ),
     )
     part_dirs = sorted(
         d for d in os.listdir(disk_dir) if d.startswith("part") and ".tmp" not in d
