@@ -275,6 +275,13 @@ def ivf_assign(
                     lambda s: s["m"],
                 ).alias("cvec")
             )
+            # MATERIALIZE the <= n_centroids rows: without this each Lloyd
+            # iteration's centroid plan embeds the full previous assign
+            # subtree, so plan depth (and broadcast-subtree recompute)
+            # grows with kmeans_iters. Interleaved A/B at iters=3 measured
+            # it neutral (the corpus passes dominate); the eager cut is
+            # kept as the plan-depth bound for larger iteration counts.
+            .localCheckpoint(eager=True)
         )
     return centroids, _assign_cells(emb, centroids)
 
