@@ -150,6 +150,11 @@ def main() -> None:
     timed("sf_doc_minhash_lsh", lambda: q_doc_minhash_lsh_candidates(spark, SF_DIR).count())
     timed("sf_knn_ivf", lambda: q_knn_ivf(spark, SF_DIR).count())
 
+    # ---- host-graph roll-up + weighted host PageRank (hostgraph.py)
+    from linkgraph.driver_queries import q_host_pagerank
+
+    timed("sf_host_pagerank", lambda: q_host_pagerank(spark, SF_DIR).count())
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
