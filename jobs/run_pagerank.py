@@ -30,9 +30,12 @@ def main() -> None:
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--eps", type=float, default=None)
-    ap.add_argument("--kernel", choices=["sql", "csr"], default="sql")
+    ap.add_argument("--kernel", choices=["sql", "csr", "sem"], default="sql")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--resume", action="store_true")
+    # sem: a shared-storage el2fg image dir (built on first run, reused
+    # after; activates the host-local compiled-block store)
+    ap.add_argument("--layout-dir", default=None)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -62,6 +65,8 @@ def main() -> None:
         partitions=args.partitions,
         engine=engine,
         resume=args.resume,
+        layout_dir=args.layout_dir,
+        reuse_layout=args.layout_dir is not None,
     )
     res.state.select("id", "rank").write.mode("overwrite").parquet(args.out)
     print(f"pagerank: {res.iterations} supersteps -> {args.out}")

@@ -104,13 +104,25 @@ def test_spark_submit_local_cluster_matches_local(tmp_path):
     os.makedirs(iso)
     shutil.copy(os.path.join(REPO, "jobs", "run_pagerank.py"), iso)
 
+    from linkgraph.algos.pagerank import _sem_disk_root
+
+    scratch_root = _sem_disk_root()
+    scratch_before = set(os.listdir(scratch_root))
+
+    lc_conf = ["--driver-memory", "4g", "--conf", "spark.executor.memory=2048m"]
     outs = {}
-    for label, master, conf in (
-        ("local", "local[4]", []),
+    for label, master, conf, extra in (
+        ("local", "local[4]", [], []),
+        ("lc", "local-cluster[2,2,2048]", lc_conf, []),
+        # sem kernel on real executor JVMs with a shared el2fg image: the
+        # executor-side Python workers read the image, publish compiled
+        # blocks to the per-user host scratch, and must produce the same
+        # ranks as the sql kernel in local mode
         (
-            "lc",
+            "lc_sem",
             "local-cluster[2,2,2048]",
-            ["--driver-memory", "4g", "--conf", "spark.executor.memory=2048m"],
+            lc_conf,
+            ["--kernel", "sem", "--layout-dir", str(tmp_path / "sem_img")],
         ),
     ):
         out = str(tmp_path / f"ranks_{label}")
@@ -121,18 +133,32 @@ def test_spark_submit_local_cluster_matches_local(tmp_path):
                 "--conf", "spark.ui.enabled=false", *conf,
                 "run_pagerank.py",
                 "--edges", edges_dir, "--out", out, "--iters", "5", "--eps", "0",
+                *extra,
             ],
             cwd=iso, env=env, capture_output=True, text=True, timeout=420,
         )
         assert proc.returncode == 0, proc.stderr[-2000:]
         outs[label] = out
 
-    diff = duckdb.sql(
-        f"""SELECT COUNT(*), MAX(ABS(a.rank - b.rank))
-        FROM read_parquet('{outs["local"]}/*.parquet') a
-        JOIN read_parquet('{outs["lc"]}/*.parquet') b USING (id)"""
-    ).fetchone()
-    assert diff[0] == 200 and diff[1] < 1e-12, diff
+    for other in ("lc", "lc_sem"):
+        diff = duckdb.sql(
+            f"""SELECT COUNT(*), MAX(ABS(a.rank - b.rank))
+            FROM read_parquet('{outs["local"]}/*.parquet') a
+            JOIN read_parquet('{outs[other]}/*.parquet') b USING (id)"""
+        ).fetchone()
+        assert diff[0] == 200 and diff[1] < 1e-12, (other, diff)
+
+    # the sem run's workers must have published compiled blocks to the
+    # per-user host scratch (the store engaging IS the thing under test —
+    # a silent no-op would hide the multi-executor miss-path cost)
+    published = [
+        d for d in set(os.listdir(scratch_root)) - scratch_before
+        if any(
+            p.startswith("part")
+            for p in os.listdir(os.path.join(scratch_root, d))
+        )
+    ]
+    assert published, f"sem run published no compiled blocks under {scratch_root}"
 
 
 def test_spark_submit_incremental_loop_local_cluster(tmp_path):
