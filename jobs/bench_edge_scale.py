@@ -44,6 +44,14 @@ def run_level(v: int, e: int, args, tries: int = 2) -> dict:
         "--iters", str(args.iters), "--kernel", args.kernel,
         "--partitions", str(args.partitions),
     ]
+    if args.kernel == "sem":
+        # stable per-shape el2fg image: built by the first repeat, reused
+        # after; the manifest activates the host-local compiled-block store
+        # (same deployment model as the local-cluster protocol)
+        cmd += [
+            "--layout-dir",
+            f"/tmp/lg_edgescale_sem_{v}_{e}_{args.partitions}",
+        ]
     last_err = ""
     for attempt in range(tries):
         out = subprocess.run(cmd, env=env, capture_output=True, text=True, cwd=REPO)
