@@ -54,6 +54,22 @@ def main() -> None:
         queries[name] = round(time.monotonic() - t0, 3)
         return out
 
+    def timed_min(name: str, fn, runs: int = 2):
+        # min-of-k with raw runs recorded (the pages_build_edges pattern):
+        # single cross-session samples of the fixpoint rows have twice been
+        # adjudicated as host-CPU-steal phantoms (r4: wcc_star 110.5s vs an
+        # in-session 24.1s) — min-of-2 makes the driver-facing number
+        # noise-proof while keeping both raw samples auditable.
+        raw: list[float] = []
+        out = None
+        for _ in range(runs):
+            t0 = time.monotonic()
+            out = fn()
+            raw.append(round(time.monotonic() - t0, 3))
+        queries[name] = min(raw)
+        extras[f"{name}_runs"] = raw
+        return out
+
     # ---- pages pipeline (extraction UDFs + build)
     pages = gen_pages(spark, BENCH_PAGES).persist()
     pages.count()
@@ -117,19 +133,19 @@ def main() -> None:
     sem_steady, sem_median = steady(res)
     extras["pagerank_sem"] = pr_extras(sem_steady, sem_median)
 
-    res = timed("wcc_fixpoint", lambda: wcc(spark, edges))
+    res = timed_min("wcc_fixpoint", lambda: wcc(spark, edges))
     extras["wcc_iterations"] = res.iterations
 
     from linkgraph.algos import wcc_star
 
-    res = timed("wcc_star_fixpoint", lambda: wcc_star(spark, edges))
+    res = timed_min("wcc_star_fixpoint", lambda: wcc_star(spark, edges))
     extras["wcc_star_rounds"] = res.iterations
 
-    timed("lp_3iter", lambda: label_propagation(spark, edges, iters=3))
+    timed_min("lp_3iter", lambda: label_propagation(spark, edges, iters=3))
 
     tri_edges = gen_bench_edges(spark, 200_000, 1_000_000).persist()
     tri_edges.count()
-    timed("triangle_counts", lambda: triangle_counts(spark, tri_edges).count())
+    timed_min("triangle_counts", lambda: triangle_counts(spark, tri_edges).count())
 
     # ---- relational headliners at the sf dir
     from linkgraph.driver_queries import (

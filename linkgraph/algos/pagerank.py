@@ -496,13 +496,32 @@ def _sem_disk_key(layout_dir: str, fingerprint: dict) -> str:
 def _sem_disk_root() -> str:
     """Per-user scratch root, created 0700: a world-shared predictable
     /tmp path would let any local user pre-plant crafted .npy blocks
-    (silently wrong ranks) or squat the dir to disable the store."""
+    (silently wrong ranks) or squat the dir to disable the store.
+
+    makedirs(exist_ok=True) alone is NOT enough on the predictable path:
+    another local user can pre-create it (world-writable, or a symlink
+    into territory they control) before our first use, and exist_ok would
+    silently accept it — re-enabling exactly the attack the 0700 mode is
+    there to stop. So after makedirs we lstat and REQUIRE: a real directory
+    (not a symlink), owned by us, mode 0700 (chmod if not, then re-verify).
+    Any mismatch raises OSError, which every caller treats as
+    store-disabled (miss / skip) — refuse, don't use."""
     import os
+    import stat as stat_mod
     import tempfile
 
     uid = os.getuid() if hasattr(os, "getuid") else "w"
     root = os.path.join(tempfile.gettempdir(), f"linkgraph_sem_blocks-u{uid}")
     os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.lstat(root)
+    if not stat_mod.S_ISDIR(st.st_mode):  # symlink or non-dir squat
+        raise OSError(f"sem disk root {root!r} is not a directory — refusing")
+    if hasattr(os, "getuid") and st.st_uid != os.getuid():
+        raise OSError(f"sem disk root {root!r} owned by uid {st.st_uid} — refusing")
+    if stat_mod.S_IMODE(st.st_mode) != 0o700:
+        os.chmod(root, 0o700)  # raises OSError if we can't -> store disabled
+        if stat_mod.S_IMODE(os.lstat(root).st_mode) != 0o700:
+            raise OSError(f"sem disk root {root!r} mode not 0700 — refusing")
     return root
 
 
@@ -511,18 +530,28 @@ def _disk_block_load(disk_key: str, part: int) -> tuple | None:
     import shutil
 
     try:
-        d = os.path.join(_sem_disk_root(), disk_key, f"part{part}")
+        cache_dir = os.path.join(_sem_disk_root(), disk_key)
     except OSError:
         return None
+    d = os.path.join(cache_dir, f"part{part}")
     if not os.path.isdir(d):
         return None
     try:
         # mmap: resident memory is page-cache-backed and SHARED across the
         # host's workers — 8 workers serving the same block cost one copy
-        return tuple(
+        blk = tuple(
             np.load(os.path.join(d, n + ".npy"), mmap_mode="r")
             for n in _SEM_BLOCK_NAMES
         )
+        # touch the cache dir so the TTL sweep (which keys on this mtime)
+        # never evicts an ACTIVELY-READ image — the build-once el2fg
+        # deployment keeps a stable image far past 7 days, and without
+        # the refresh any unrelated store on the host would sweep it
+        try:
+            os.utime(cache_dir)
+        except OSError:
+            pass  # read-only scratch etc. — worst case is one re-publish
+        return blk
     except (FileNotFoundError, ValueError, EOFError):
         # a published dir is complete (atomic rename), so a missing or
         # malformed .npy means damage — drop the dir so the rebuild can
@@ -535,38 +564,63 @@ def _disk_block_load(disk_key: str, part: int) -> tuple | None:
         return None
 
 
-def _disk_block_store(disk_key: str, part: int, blk: tuple) -> None:
+def _sem_sweep_root(root: str, disk_key: str) -> None:
+    """Reclaim superseded/orphaned cache dirs. Runs AT MOST ONCE per
+    (python worker, disk_key) — the sweep is O(siblings) listdir+stat work
+    racing across every cold worker on the host, so repeating it once per
+    partition a worker builds is pure waste (parts x workers syscalls)."""
     import os
     import shutil
     import time
+
+    if disk_key in _SEM_SWEPT:
+        return
+    _SEM_SWEPT.add(disk_key)
+    lh = disk_key.split("-", 1)[0]
+    now = time.time()
+    for other in os.listdir(root):
+        if other == disk_key:
+            continue
+        other_path = os.path.join(root, other)
+        if other.startswith(lh + "-"):
+            # superseded fingerprint of the SAME layout_dir: its image
+            # was overwritten — those blocks are unreachable
+            shutil.rmtree(other_path, ignore_errors=True)
+        else:
+            # age-based reclaim of orphans (transient layout_dirs that
+            # never recur). A live-but-idle cache dir that gets swept
+            # degrades to one rebuild+republish — never wrong results.
+            # Actively-read dirs never qualify: _disk_block_load utimes
+            # the cache dir on every successful load.
+            try:
+                if now - os.path.getmtime(other_path) > _SEM_DISK_TTL_SEC:
+                    shutil.rmtree(other_path, ignore_errors=True)
+            except OSError:
+                pass
+
+
+_SEM_SWEPT: set[str] = set()
+
+
+def _disk_block_store(disk_key: str, part: int, blk: tuple) -> None:
+    import os
+    import shutil
     import uuid
 
     # best-effort: the disk store is an accelerator — any IO failure here
     # must never fail the superstep, the in-memory block is already built
     try:
         root = _sem_disk_root()
-        lh = disk_key.split("-", 1)[0]
-        now = time.time()
-        for other in os.listdir(root):
-            if other == disk_key:
-                continue
-            other_path = os.path.join(root, other)
-            if other.startswith(lh + "-"):
-                # superseded fingerprint of the SAME layout_dir: its image
-                # was overwritten — those blocks are unreachable
-                shutil.rmtree(other_path, ignore_errors=True)
-            else:
-                # age-based reclaim of orphans (transient layout_dirs that
-                # never recur). A live-but-idle cache dir that gets swept
-                # degrades to one rebuild+republish — never wrong results.
-                try:
-                    if now - os.path.getmtime(other_path) > _SEM_DISK_TTL_SEC:
-                        shutil.rmtree(other_path, ignore_errors=True)
-                except OSError:
-                    pass
         final = os.path.join(root, disk_key, f"part{part}")
         if os.path.isdir(final):
+            # someone already published this block — refresh the image's
+            # mtime so the TTL sweep sees it as live, and skip the sweep
+            try:
+                os.utime(os.path.join(root, disk_key))
+            except OSError:
+                pass
             return
+        _sem_sweep_root(root, disk_key)
         tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
         try:
             os.makedirs(tmp)

@@ -484,6 +484,103 @@ def test_sem_disk_block_cache_publishes_and_serves(
     shutil.rmtree(disk_dir, ignore_errors=True)  # keep the shared scratch tidy
 
 
+def test_sem_disk_root_refuses_squatted_paths(tmp_path, monkeypatch):
+    """The scratch root lives at a PREDICTABLE /tmp path, so creation must
+    refuse anything another principal could have pre-planted there: a
+    symlink (redirects our .npy reads/writes into attacker territory), a
+    foreign-owned dir, or an open mode it can't fix. Refusal = OSError,
+    which every store/load call site treats as store-disabled."""
+    import os
+    import tempfile
+
+    from linkgraph.algos.pagerank import _sem_disk_root
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    uid = os.getuid()
+    name = f"linkgraph_sem_blocks-u{uid}"
+
+    # symlink squat: refuse
+    target = tmp_path / "elsewhere"
+    target.mkdir()
+    os.symlink(target, tmp_path / name)
+    with pytest.raises(OSError, match="not a directory"):
+        _sem_disk_root()
+    os.unlink(tmp_path / name)
+
+    # world-writable pre-created dir: chmod'd back to 0700, then usable
+    (tmp_path / name).mkdir(mode=0o777)
+    os.chmod(tmp_path / name, 0o777)  # mkdir mode is masked by umask
+    root = _sem_disk_root()
+    assert os.stat(root).st_mode & 0o777 == 0o700
+
+    # foreign-owned dir: refuse (simulated — the sandbox runs single-uid,
+    # so fake "our" uid instead of the dir's owner)
+    monkeypatch.setattr(os, "getuid", lambda: uid + 54321)
+    with pytest.raises(OSError, match="owned by uid"):
+        _sem_disk_root()
+
+
+def test_sem_disk_ttl_refresh_and_sweep_once(tmp_path, monkeypatch):
+    """(a) A successful block load utimes its cache dir, so actively-read
+    images never age past the TTL sweep (build-once images outlive 7 days
+    by design); (b) finding the block already published also refreshes it;
+    (c) the orphan sweep runs at most once per (worker, disk_key) — not
+    once per partition built."""
+    import os
+    import sys
+    import tempfile
+    import time
+
+    from linkgraph.algos.pagerank import (
+        _SEM_BLOCK_NAMES,
+        _SEM_DISK_TTL_SEC,
+        _disk_block_load,
+        _disk_block_store,
+    )
+
+    prmod = sys.modules["linkgraph.algos.pagerank"]
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(prmod, "_SEM_SWEPT", set())
+    blk = (
+        np.array([1, 2], dtype=np.int64),
+        np.array([0, 1], dtype=np.int32),
+        np.array([3], dtype=np.int64),
+        np.array([0, 0], dtype=np.int32),
+    )
+    key = "aaaaaaaaaaaa-bbbbbbbbbbbb"
+    _disk_block_store(key, 0, blk)
+    cache_dir = os.path.join(str(tmp_path), f"linkgraph_sem_blocks-u{os.getuid()}", key)
+    assert os.path.isdir(os.path.join(cache_dir, "part0"))
+
+    old = time.time() - _SEM_DISK_TTL_SEC - 60
+    os.utime(cache_dir, (old, old))
+    got = _disk_block_load(key, 0)
+    assert got is not None and len(got) == len(_SEM_BLOCK_NAMES)
+    assert os.path.getmtime(cache_dir) > old + _SEM_DISK_TTL_SEC / 2, (
+        "load did not refresh the TTL mtime"
+    )
+
+    # re-store of an already-published block refreshes too
+    os.utime(cache_dir, (old, old))
+    _disk_block_store(key, 0, blk)
+    assert os.path.getmtime(cache_dir) > old + _SEM_DISK_TTL_SEC / 2
+
+    # sweep-once: first store for the key reclaims an expired orphan...
+    root = os.path.dirname(cache_dir)
+    orphan1 = os.path.join(root, "cccccccccccc-dddddddddddd")
+    os.makedirs(orphan1)
+    os.utime(orphan1, (old, old))
+    monkeypatch.setattr(prmod, "_SEM_SWEPT", set())
+    _disk_block_store(key, 1, blk)
+    assert not os.path.isdir(orphan1), "expired orphan not swept on first store"
+    # ...but later stores for the SAME key skip the sweep entirely
+    orphan2 = os.path.join(root, "eeeeeeeeeeee-ffffffffffff")
+    os.makedirs(orphan2)
+    os.utime(orphan2, (old, old))
+    _disk_block_store(key, 2, blk)
+    assert os.path.isdir(orphan2), "sweep ran again for the same (worker, key)"
+
+
 def test_pagerank_warm_start_converges_faster_same_fixpoint(
     spark, wiki_edges_df, wiki_vertices_df
 ):
