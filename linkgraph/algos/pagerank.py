@@ -475,6 +475,7 @@ _SEM_CACHE_CAP = 16
 # the next store. Only manifested layouts (reusable images) participate —
 # a run-private temp layout dies with its run, so spilling it buys nothing.
 _SEM_BLOCK_NAMES = ("src_uniq", "src_inv", "dst_uniq", "dst_inv")
+_SEM_BLOCK_FMT = "v2"  # v2: uniq arrays stored int32 when ids fit
 # orphaned cache dirs (transient layout_dirs that never recur — pytest
 # tmp_paths, one-off jobs) are reclaimed by age at store time
 _SEM_DISK_TTL_SEC = 7 * 24 * 3600
@@ -487,8 +488,11 @@ def _sem_disk_key(layout_dir: str, fingerprint: dict) -> str:
     import hashlib
 
     lh = hashlib.sha1(layout_dir.encode()).hexdigest()[:12]
+    # _BLOCK_FMT is folded into the content address: a block-format change
+    # (e.g. the round-5 int32 uniq arrays) must never mmap older-format
+    # blocks; superseded-format dirs share the layout hash and are swept
     fh = hashlib.sha1(
-        json.dumps(fingerprint, sort_keys=True).encode()
+        (json.dumps(fingerprint, sort_keys=True) + "|" + _SEM_BLOCK_FMT).encode()
     ).hexdigest()[:12]
     return f"{lh}-{fh}"
 
@@ -676,6 +680,15 @@ def _sem_block(
             dst = t.column("dst_id").to_numpy().astype(np.int64, copy=False)
             src_uniq, src_inv = np.unique(src, return_inverse=True)
             dst_uniq, dst_inv = np.unique(dst, return_inverse=True)
+            # int32 uniq arrays when ids fit (dictionary-dense ids always
+            # do): halves those arrays' bytes in the compiled image — disk
+            # blocks, page-cache residency, and load traffic — with no
+            # inner-loop change (searchsorted/compare upcast lazily; the
+            # emit path casts dst_uniq back to int64 for the long schema)
+            if len(src_uniq) and src_uniq[-1] < 2**31 and src_uniq[0] >= -(2**31):
+                src_uniq = src_uniq.astype(np.int32)
+            if len(dst_uniq) and dst_uniq[-1] < 2**31 and dst_uniq[0] >= -(2**31):
+                dst_uniq = dst_uniq.astype(np.int32)
             blk = (src_uniq, src_inv.astype(np.int32), dst_uniq, dst_inv.astype(np.int32))
             if disk_key is not None:
                 _disk_block_store(disk_key, part, blk)
@@ -717,9 +730,16 @@ def _sem_spmv_factory(damping: float, token: int, layout_dir: str,
         pos = np.clip(pos, 0, len(ids) - 1)
         hit = ids[pos] == src_uniq
         vals_by_src = np.where(hit, vals[pos], 0.0)
+        # gather + bincount IS the measured-fastest inner loop: interleaved
+        # 32-proc microbench (tools/micro_sem_kernel.py) put chunked
+        # bincount at 1.05x, dst-sorted gather+reduceat at 1.23x, and
+        # preallocated-buffer take+reduceat at 1.50x of this loop -- the
+        # "fused gather" candidates all lose, so the O(E) contrib temp stays
         contrib = vals_by_src[src_inv]
         sums = np.bincount(dst_inv, weights=contrib, minlength=len(dst_uniq))
-        return pd.DataFrame({"dst_id": dst_uniq, "contrib": sums})
+        return pd.DataFrame(
+            {"dst_id": dst_uniq.astype(np.int64, copy=False), "contrib": sums}
+        )
 
     return sem_spmv
 
