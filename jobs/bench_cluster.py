@@ -75,6 +75,13 @@ def purge_local_dirs() -> None:
 
 
 def run_pagerank(n_exec: int, args, kernel: str) -> dict:
+    """One measured worker run. ``kernel``: sql/sem -> the PageRank worker;
+    wcc/wcc_star/lp/tc -> jobs/bench_program.py (the other north-rule
+    programs). tc runs on a smaller graph (--tc-edges): triangle counting
+    on the power-law bench graph is superlinear in edges (wedge join) and
+    ~100s/run at 8 cores already at 5M edges — the scaling ratio only
+    needs the same input at both levels, not the same input across
+    programs."""
     master = master_str(n_exec, args.exec_cores, args.exec_mem_mb)
     env = child_env(master, n_exec * args.exec_cores)
     cmd = [
@@ -84,13 +91,27 @@ def run_pagerank(n_exec: int, args, kernel: str) -> dict:
         "--driver-memory", "16g",
         "--conf", f"spark.executor.memory={args.exec_mem_mb}m",
         "--conf", "spark.ui.enabled=false",
-        os.path.join(REPO, "jobs", "bench_pagerank.py"),
-        "--vertices", str(args.vertices),
-        "--edges", str(args.edges),
-        "--iters", str(args.iters),
-        "--kernel", kernel,
-        "--partitions", str(args.partitions),
     ]
+    if kernel in ("sql", "sem"):
+        cmd += [
+            os.path.join(REPO, "jobs", "bench_pagerank.py"),
+            "--vertices", str(args.vertices),
+            "--edges", str(args.edges),
+            "--iters", str(args.iters),
+            "--kernel", kernel,
+            "--partitions", str(args.partitions),
+        ]
+    else:
+        edges = args.tc_edges if kernel == "tc" else args.edges
+        cmd += [
+            os.path.join(REPO, "jobs", "bench_program.py"),
+            "--program", kernel,
+            "--vertices", str(args.vertices),
+            "--edges", str(edges),
+            "--iters", str(args.lp_iters),
+            "--runs", str(args.runs),
+            "--partitions", str(args.partitions),
+        ]
     if kernel == "sem":
         # stable el2fg image, shared across repeats AND levels (identical
         # fingerprint: same edges/partitions/hub_threshold at both) — the
@@ -169,7 +190,14 @@ def main() -> None:
     # 20 so the trimmed mean reflects steady state: 4-JVM JIT + cache
     # warm-up spans ~4 supersteps, and crawl-scale runs are 50+.
     ap.add_argument("--iters", type=int, default=20)
+    # all six north-program jobs are accepted; the default keeps the
+    # original PageRank pair (r3/r4 evidence), pass
+    # --kernels wcc,wcc_star,lp,tc for the round-5 extension
     ap.add_argument("--kernels", default="sql,sem")
+    ap.add_argument("--lp-iters", type=int, default=8)
+    ap.add_argument("--runs", type=int, default=3,
+                    help="whole-run repeats in-session for wcc/wcc_star/tc")
+    ap.add_argument("--tc-edges", type=int, default=2_000_000)
     # 2 task waves at the LARGER level (4x8 slots): one-wave 32 was a
     # measured straggler cliff (3.79 vs 2.69 s/iter at 4x8); fixed at
     # both levels, sized for the largest — the real-cluster rule.
@@ -218,7 +246,13 @@ def render_md(args, results, shuffle_ctrl) -> str:
     c = args.exec_cores
     lines = [
         "",
-        "## Multi-JVM evidence: local-cluster executors (1 -> 4)",
+        f"## Multi-JVM evidence: local-cluster executors (1 -> 4) — {', '.join(results)}",
+        "",
+        "(unit per row: sec/superstep for sql/sem/lp — identical work each",
+        "superstep; sec/WHOLE-RUN for wcc/wcc_star/tc — their frontiers or",
+        "edge lists contract across rounds, so per-superstep numbers would",
+        "compare different work. Either way the two levels divide like for",
+        "like.)",
         "",
         "Same job and input as the protocol above, but on REAL executor",
         f"JVMs: `local-cluster[1,{c},{args.exec_mem_mb}]` vs",
@@ -255,8 +289,9 @@ def render_md(args, results, shuffle_ctrl) -> str:
     ]
     for kernel, r in results.items():
         rel = r["efficiency"] / sh_eff if sh_eff else float("nan")
+        name = f"pagerank/{kernel}" if kernel in ("sql", "sem") else kernel
         lines.append(
-            f"| pagerank/{kernel} (1->4 executors) | {r['efficiency']} | "
+            f"| {name} (1->4 executors) | {r['efficiency']} | "
             f"{r['efficiency_min_based']} | {rel:.2f} |"
         )
     lines.append(

@@ -17,6 +17,9 @@ current with per-poll cost **O(new rows + touched buckets)**:
       latest/lb=K/    the CURRENT winner rows, hive-partitioned by
                       lb = pmod(xxhash64(src_url), buckets)
       latest.aside/   bucket dirs renamed aside mid-swap (repair state)
+      latest.splitstage/, latest.presplit/, _split
+                      split() staging / pre-split copy / roll-forward
+                      marker (transient; any open completes a marked split)
       _meta           {"merged_through": N, "buckets": B}
 
 A merge takes the unmerged delta rows, computes which ``lb`` buckets they
@@ -32,6 +35,16 @@ read or written, so the common small poll costs O(new + touched bucket
 bytes). Under uniform hashing a poll changing n srcs touches
 ~B·(1-(1-1/B)^n) buckets — size B so the steady-state poll's n stays
 well under it.
+
+Bucket count is NOT fixed for the store's lifetime: B must be a power of
+two, and ``split()`` doubles it in place — lb = h mod B refines to
+h mod 2B, so each parent bucket maps onto exactly its two children k and
+k+B with no re-keying of untouched rows (consistent-hashing-style
+growth). That keeps bound (2) live at any corpus size: when bucket bytes
+outgrow the merge budget (the 10^12-document regime where a 64-bucket
+store would put ~15B rows in every touched bucket), split until the
+per-touched-bucket bytes fit again; the per-poll merge bound is then
+O(new rows + touched buckets · corpus/B) with B chosen to the corpus.
 
 Crash safety rides on ALGEBRA, not filesystem atomicity: the winner rule
 is an idempotent, commutative, monotone max — re-merging an
@@ -91,22 +104,43 @@ def latest_rows(rows: DataFrame) -> DataFrame:
 
 
 class LinkStore:
-    def __init__(self, spark: SparkSession, root: str, buckets: int = 64):
+    def __init__(self, spark: SparkSession, root: str, buckets: int | None = 64):
+        """``buckets`` must be a power of two (so ``split`` can double it:
+        lb = h mod B refines to h mod 2B, sending each bucket's rows to
+        exactly its two children k and k+B). Pass ``buckets=None`` to adopt
+        whatever the store on disk was built with — the right spelling for
+        re-opening a store that may have been split since it was created."""
         self.spark = spark
         self.root = root.rstrip("/")
         self.deltas_dir = f"{self.root}/deltas"
         self.latest_dir = f"{self.root}/latest"
         self.aside_dir = f"{self.root}/latest.aside"
         self.staging_dir = f"{self.root}/latest.staging"
+        self.split_staging_dir = f"{self.root}/latest.splitstage"
+        self.presplit_dir = f"{self.root}/latest.presplit"
+        self.split_marker_path = f"{self.root}/_split"
         self.meta_path = f"{self.root}/_meta"
+        self._finish_split()  # complete any crash-interrupted split first
         meta = self._read_meta()
-        if meta is not None and meta["buckets"] != buckets:
-            raise ValueError(
-                f"LinkStore at {self.root} was built with buckets="
-                f"{meta['buckets']}, opened with buckets={buckets}; a bucket-"
-                "count change re-keys every partition — rebuild explicitly"
-            )
-        self.buckets = buckets
+        if meta is not None:
+            if buckets is not None and meta["buckets"] != buckets:
+                raise ValueError(
+                    f"LinkStore at {self.root} was built with buckets="
+                    f"{meta['buckets']}, opened with buckets={buckets}; open "
+                    "with buckets=None to adopt the on-disk count, or grow "
+                    "it explicitly with split()"
+                )
+            self.buckets = int(meta["buckets"])
+        else:
+            b = 64 if buckets is None else int(buckets)
+            if b <= 0 or b & (b - 1):
+                raise ValueError(
+                    f"buckets must be a power of two (got {b}): split() "
+                    "doubles the count by refining lb = h mod B to h mod 2B, "
+                    "which only maps each bucket onto exactly two children "
+                    "when B is a power of two"
+                )
+            self.buckets = b
 
     # ------------------------------------------------------------- metadata
     def _read_meta(self) -> dict | None:
@@ -246,6 +280,79 @@ class LinkStore:
         self._write_meta(high)
         self._prune_deltas(high, keep_deltas)
         return {"new_rows": n_new, "touched_buckets": touched, "merged_through": high}
+
+    # --------------------------------------------------------------- split
+    def split(self) -> dict:
+        """Double the bucket count IN PLACE — the store's growth path.
+
+        Why it exists: merge cost is O(new rows + touched-bucket BYTES),
+        and bucket bytes grow with the corpus. A store created with
+        buckets=64 at 10^12 documents puts ~15B rows in every touched
+        bucket, decaying the bound toward O(corpus). Splitting restores
+        the bound without re-keying the universe: lb = h mod B refines to
+        h mod 2B, so parent bucket k's rows land in exactly children k and
+        k+B — each rewrite task reads one parent and writes two children,
+        no shuffle of untouched keys, perfectly partition-parallel. Call
+        it whenever steady-state polls touch most buckets or bucket bytes
+        outgrow the merge budget; repeated calls keep doubling.
+
+        Crash safety (same refuse-don't-guess style as merge): the
+        rewritten store is staged COMPLETELY, then a marker records
+        (from, to, merged_through), then the swap runs
+        rename(latest -> presplit); rename(stage -> latest); meta(to);
+        cleanup. ``_finish_split`` (run on every open) rolls the swap
+        FORWARD from any crash point — the marker is only ever written
+        after staging is complete, so forward is always safe — and the
+        winner rows themselves never change, only their directory, so
+        delta replay invariants are untouched."""
+        self._repair_asides()
+        b_from, b_to = self.buckets, self.buckets * 2
+        fs_delete(self.spark, self.split_staging_dir)
+        cur = self._read_latest()
+        (
+            cur.drop("lb")
+            .withColumn("lb", F.pmod(F.xxhash64("src_url"), F.lit(b_to)).cast("int"))
+            .write.partitionBy("lb")
+            .mode("overwrite")
+            .parquet(self.split_staging_dir)
+        )
+        fs_write_text(
+            self.spark,
+            self.split_marker_path,
+            json.dumps(
+                {"from": b_from, "to": b_to, "merged_through": self.merged_through()}
+            ),
+        )
+        self._finish_split()
+        return {"buckets": self.buckets}
+
+    def _finish_split(self) -> None:
+        """Roll a marked split forward to completion (no-op without a
+        marker). Idempotent at every crash point: each step is guarded by
+        the existence of its input, and re-writing meta is harmless."""
+        if not fs_exists(self.spark, self.split_marker_path):
+            return
+        marker = json.loads(fs_read_text(self.spark, self.split_marker_path))
+        if fs_exists(self.spark, self.split_staging_dir):
+            # staging is complete (the marker is written only after) and
+            # not yet swapped in
+            if fs_exists(self.spark, self.latest_dir):
+                fs_delete(self.spark, self.presplit_dir)
+                if not fs_rename(self.spark, self.latest_dir, self.presplit_dir):
+                    raise IOError(
+                        f"LinkStore: split rename {self.latest_dir} -> "
+                        f"{self.presplit_dir} failed"
+                    )
+            if not fs_rename(self.spark, self.split_staging_dir, self.latest_dir):
+                raise IOError(
+                    f"LinkStore: split rename {self.split_staging_dir} -> "
+                    f"{self.latest_dir} failed"
+                )
+        # else: already swapped in by an earlier attempt — finish bookkeeping
+        self.buckets = int(marker["to"])
+        self._write_meta(int(marker["merged_through"]))
+        fs_delete(self.spark, self.presplit_dir)
+        fs_delete(self.spark, self.split_marker_path)
 
     def _prune_deltas(self, merged_through: int, keep: int) -> None:
         """Merged deltas are replay fuel, not live state — keep the last

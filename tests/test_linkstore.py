@@ -218,3 +218,101 @@ def test_link_store_rank_poll_matches_pairlog_poll(spark, tmp_path):
     assert np.allclose(
         [ra[i] for i in ids], [rb[i] for i in ids], rtol=0, atol=100 * eps
     )
+
+
+def test_linkstore_split_doubles_buckets_preserving_view(spark, tmp_path):
+    """split() doubles B in place: the winner view is IDENTICAL before and
+    after (and still equals the full-log batch view), every parent
+    bucket's rows land only in its two children k and k+B, later merges
+    keep working at the new count, a mid-split crash rolls forward safely,
+    and the constructor refuses non-power-of-two counts but adopts the
+    grown count via buckets=None."""
+    import json
+
+    import pytest
+
+    from linkgraph.engine import fs_exists, fs_rename
+    from linkgraph.linkstore import LinkStore
+    from linkgraph.synth import gen_pages
+
+    stage = str(tmp_path / "pages")
+    with pytest.raises(ValueError, match="power of two"):
+        LinkStore(spark, str(tmp_path / "bad"), buckets=6)
+
+    store = LinkStore(spark, str(tmp_path / "links"), buckets=BUCKETS)
+    pages1 = gen_pages(spark, 60)
+    _write_poll(spark, pages1, stage, "overwrite")
+    store.ingest(stage)
+    store.merge()
+
+    def rows():
+        return sorted(
+            map(tuple, store._read_latest().drop("lb").fillna("NULL", "dst_url").collect())
+        )
+
+    def bucket_of():
+        out = {}
+        for r in store._read_latest().select("src_url", "lb").distinct().collect():
+            out.setdefault(r["src_url"], set()).add(r["lb"])
+        return {u: ks.pop() for u, ks in out.items() if len(ks) == 1}
+
+    before_rows, before_lb = rows(), bucket_of()
+    mt_before = store.merged_through()
+    res = store.split()
+    assert res["buckets"] == 2 * BUCKETS and store.buckets == 2 * BUCKETS
+    assert store.merged_through() == mt_before
+    assert rows() == before_rows, "split changed the winner rows"
+    after_lb = bucket_of()
+    for u, k in before_lb.items():
+        assert after_lb[u] in (k, k + BUCKETS), (u, k, after_lb[u])
+
+    # reopen: stale count refused, None adopts the grown count
+    with pytest.raises(ValueError, match="buckets"):
+        LinkStore(spark, str(tmp_path / "links"), buckets=BUCKETS)
+    reopened = LinkStore(spark, str(tmp_path / "links"), buckets=None)
+    assert reopened.buckets == 2 * BUCKETS
+
+    # a post-split poll merges correctly at the new count and the store
+    # still equals the full-log batch view
+    from linkgraph.io import read_parquet_or_empty
+    from linkgraph.linkstore import PAIR_COLS
+    from linkgraph.streaming import current_edge_pairs
+
+    urls = [r["url"] for r in pages1.select("url").orderBy("url").limit(3).collect()]
+    _write_poll(spark, _recrawl_rows(spark, pages1, urls[:2], add_link_to=urls[2]), stage, "append")
+    reopened.ingest(stage)
+    m = reopened.merge()
+    assert m["new_rows"] > 0 and all(k < 2 * BUCKETS for k in m["touched_buckets"])
+    log = None
+    for i in reopened._delta_indices():
+        part = read_parquet_or_empty(spark, f"{reopened.deltas_dir}/d={i}", PAIR_COLS)
+        log = part if log is None else log.unionByName(part)
+    assert {
+        (r["src_url"], r["dst_url"]) for r in reopened.current_pairs().collect()
+    } == {(r["src_url"], r["dst_url"]) for r in current_edge_pairs(log).collect()}
+
+    # ---- mid-split crash: stage + marker written, swap not run (the
+    # exact state after split()'s fs_write_text). Re-opening the store
+    # must roll the split forward; the view is unchanged.
+    want = sorted(
+        map(tuple, reopened._read_latest().drop("lb").fillna("NULL", "dst_url").collect())
+    )
+    fs_delete_ok = fs_rename(
+        spark, reopened.latest_dir, reopened.split_staging_dir
+    )  # fake "staging complete, latest already renamed away" crash point:
+    #    marker present + staging present + latest missing
+    assert fs_delete_ok
+    from linkgraph.engine import fs_write_text
+
+    fs_write_text(
+        spark,
+        reopened.split_marker_path,
+        json.dumps({"from": 2 * BUCKETS, "to": 2 * BUCKETS,
+                    "merged_through": reopened.merged_through()}),
+    )
+    recovered = LinkStore(spark, str(tmp_path / "links"), buckets=None)
+    assert not fs_exists(spark, recovered.split_marker_path)
+    assert fs_exists(spark, recovered.latest_dir)
+    assert sorted(
+        map(tuple, recovered._read_latest().drop("lb").fillna("NULL", "dst_url").collect())
+    ) == want
