@@ -43,10 +43,25 @@ def main() -> None:
         "incrementally — O(new + touched buckets) per poll, the web-scale "
         "steady-state form)",
     )
+    ap.add_argument(
+        "--host-rank",
+        action="store_true",
+        help="maintain the HOST-level roll-up + weighted host rank instead "
+        "of the page rank (the A11 derived product, steady-state form: "
+        "LinkStore merge + HostAgg touched-bucket partial refresh + "
+        "warm-started weighted rank). Requires --link-store-buckets > 0.",
+    )
     args = ap.parse_args()
+    if args.host_rank and args.link_store_buckets <= 0:
+        ap.error("--host-rank requires --link-store-buckets > 0 (it is "
+                 "LinkStore-backed by construction)")
 
     from linkgraph.conventions import PR_EPS, PR_MAX_ITERS
-    from linkgraph.incremental import incremental_rank_poll, link_store_rank_poll
+    from linkgraph.incremental import (
+        host_store_rank_poll,
+        incremental_rank_poll,
+        link_store_rank_poll,
+    )
     from linkgraph.session import get_spark
 
     spark = get_spark(app_name="linkgraph-incremental")
@@ -60,7 +75,12 @@ def main() -> None:
     poll = 0
     while True:
         poll += 1
-        if args.link_store_buckets > 0:
+        if args.host_rank:
+            row = host_store_rank_poll(
+                spark, args.pages, args.state,
+                buckets=args.link_store_buckets, **kwargs,
+            )
+        elif args.link_store_buckets > 0:
             row = link_store_rank_poll(
                 spark, args.pages, args.state,
                 buckets=args.link_store_buckets, **kwargs,

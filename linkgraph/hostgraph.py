@@ -21,6 +21,8 @@ PageRank kernel's hybrid salted aggregation via ``salted=True``.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -81,41 +83,217 @@ def host_pagerank(
     weighted sql kernel → join ranks back to host strings. The dictionary
     and iteration state are O(hosts), not O(pages).
     """
-    from linkgraph.algos import pagerank
-    from linkgraph.build import assign_vertex_ids
-
     hedges = host_edges(
         url_pairs, src_col=src_col, dst_col=dst_col, keep_intra=keep_intra
     ).persist()
     try:
-        hosts = hedges.select(F.col("src_host").alias("url")).unionByName(
-            hedges.select(F.col("dst_host").alias("url"))
-        )
-        hdict = assign_vertex_ids(hosts, partitions=partitions or 32)
-        src_ids = hdict.select(
-            F.col("url").alias("src_host"), F.col("id").alias("src_id")
-        )
-        dst_ids = hdict.select(
-            F.col("url").alias("dst_host"), F.col("id").alias("dst_id")
-        )
-        id_edges = (
-            hedges.join(src_ids, "src_host")
-            .join(dst_ids, "dst_host")
-            .select("src_id", "dst_id", "weight")
-        )
-        res = pagerank(
+        return _rank_host_edges(
             spark,
-            id_edges,
-            vertices=hdict.select("id"),
+            hedges,
             damping=damping,
             eps=eps,
             max_iters=max_iters,
             partitions=partitions,
             salted=salted,
-            weight_col="weight",
-        )
-        return res.state.join(hdict, "id").select(
-            F.col("url").alias("host"), "rank"
         )
     finally:
         hedges.unpersist()
+
+
+def _rank_host_edges(
+    spark: SparkSession,
+    hedges: DataFrame,
+    damping: float,
+    eps: float,
+    max_iters: int,
+    partitions: int | None,
+    salted: bool,
+    init_ranks: DataFrame | None = None,
+    hdict: DataFrame | None = None,
+):
+    """Weighted rank over a (src_host, dst_host, weight) roll-up; returns
+    (host, rank) when ``hdict`` is None, else the engine RunResult on the
+    caller's dictionary ids (the incremental poll needs both the result
+    metadata and id-keyed state it can warm-start the next poll from)."""
+    from linkgraph.algos import pagerank
+    from linkgraph.build import assign_vertex_ids
+
+    return_strings = hdict is None
+    if hdict is None:
+        hosts = hedges.select(F.col("src_host").alias("url")).unionByName(
+            hedges.select(F.col("dst_host").alias("url"))
+        )
+        hdict = assign_vertex_ids(hosts, partitions=partitions or 32)
+    src_ids = hdict.select(
+        F.col("url").alias("src_host"), F.col("id").alias("src_id")
+    )
+    dst_ids = hdict.select(
+        F.col("url").alias("dst_host"), F.col("id").alias("dst_id")
+    )
+    id_edges = (
+        hedges.join(src_ids, "src_host")
+        .join(dst_ids, "dst_host")
+        .select("src_id", "dst_id", "weight")
+    )
+    res = pagerank(
+        spark,
+        id_edges,
+        vertices=hdict.select("id"),
+        damping=damping,
+        eps=eps,
+        max_iters=max_iters,
+        partitions=partitions,
+        salted=salted,
+        weight_col="weight",
+        init_ranks=init_ranks,
+    )
+    if not return_strings:
+        return res
+    return res.state.join(hdict, "id").select(
+        F.col("url").alias("host"), "rank"
+    )
+
+
+class HostAgg:
+    """Incrementally-maintained host-edge roll-up over a ``LinkStore``.
+
+    The batch roll-up (``host_edges``) scans the FULL latest-crawl pair
+    view every time — an O(current corpus) pass per poll, which is the one
+    remaining corpus-sized cost in the steady-state host-rank loop. This
+    store removes it by keeping **per-bucket partials**: for each LinkStore
+    bucket ``lb``, the host roll-up of just that bucket's winner rows,
+    stored hive-partitioned under ``root/parts/lb=K``. Because every
+    src_url lives entirely in one bucket (lb is a function of src_url),
+    both the per-src distinct over (src_url, dst_url) and the host
+    collapse are bucket-local, so
+
+        Σ_buckets partial(bucket)  ==  batch roll-up,  EXACTLY
+
+    (integer counts — no float summation-order concern). After a merge
+    only the touched buckets' winner rows changed, so ``refresh`` reads
+    ONLY those partitions of the store (partition-pruned) and rewrites
+    ONLY those partial dirs: per-poll cost O(touched-bucket bytes), never
+    O(corpus).
+
+    Validity is tracked refuse-don't-guess style in ``root/_meta``
+    ({"merged_through": N, "buckets": B}, matching the store state the
+    partials reflect). ``refresh`` applies the touched-bucket fast path
+    only when the meta proves the partials are exactly one merge behind
+    (same bucket count, merged_through equal to the store's pre-merge
+    watermark); on ANY mismatch — first use, a crash between the store's
+    merge and this refresh, a ``split()`` having changed the bucket
+    universe — it rebuilds every partial from the store rather than
+    guessing which buckets might be stale. A crash mid-refresh leaves meta
+    un-advanced, which the next poll detects the same way; wasteful,
+    never wrong (the same degradation contract as losing LinkStore meta).
+    """
+
+    _PART_SCHEMA = "src_host string, dst_host string, w long, lb int"
+
+    def __init__(self, spark: SparkSession, root: str, keep_intra: bool = False):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.parts_dir = f"{self.root}/parts"
+        self.staging_dir = f"{self.root}/parts.staging"
+        self.meta_path = f"{self.root}/_meta"
+        self.keep_intra = keep_intra
+
+    def _read_meta(self) -> dict | None:
+        from linkgraph.engine import fs_exists, fs_read_text
+
+        if not fs_exists(self.spark, self.meta_path):
+            return None
+        return json.loads(fs_read_text(self.spark, self.meta_path))
+
+    def _write_meta(self, merged_through: int, buckets: int) -> None:
+        from linkgraph.engine import fs_delete, fs_rename, fs_write_text
+
+        tmp = self.meta_path + ".tmp"
+        fs_write_text(
+            self.spark,
+            tmp,
+            json.dumps({"merged_through": merged_through, "buckets": buckets}),
+        )
+        fs_delete(self.spark, self.meta_path)
+        if not fs_rename(self.spark, tmp, self.meta_path):
+            raise IOError(f"HostAgg: rename {tmp} -> {self.meta_path} failed")
+
+    def _bucket_partials(self, store, touched: list[int] | None) -> DataFrame:
+        """Host roll-up partials of the store's winner rows, bucket-local:
+        same per-src distinct + host filters as the batch path
+        (store.current_pairs() -> host_edges), with lb carried through —
+        lb is a function of src_url, so bucket-local distinct == the
+        global distinct restricted to the bucket."""
+        rows = store._read_latest(touched).filter(F.col("dst_url").isNotNull())
+        pairs = rows.select("lb", "src_url", "dst_url").distinct()
+        hosts = pairs.select(
+            "lb",
+            host_col(F.col("src_url")).alias("src_host"),
+            host_col(F.col("dst_url")).alias("dst_host"),
+        ).filter((F.col("src_host") != "") & (F.col("dst_host") != ""))
+        if not self.keep_intra:
+            hosts = hosts.filter(F.col("src_host") != F.col("dst_host"))
+        return hosts.groupBy("lb", "src_host", "dst_host").agg(
+            F.count(F.lit(1)).alias("w")
+        )
+
+    def refresh(self, store, touched: list[int], expected_merged_through: int) -> dict:
+        """Bring the partials current with ``store`` (called after its
+        merge). ``expected_merged_through`` is the store's merged_through
+        BEFORE that merge — the watermark these partials must already
+        reflect for the touched-bucket fast path to be sound."""
+        from linkgraph.engine import fs_delete, fs_exists, fs_mkdirs, fs_rename
+
+        meta = self._read_meta()
+        incremental = (
+            meta is not None
+            and int(meta["buckets"]) == store.buckets
+            and int(meta["merged_through"]) == expected_merged_through
+        )
+        if not incremental:
+            # refuse-don't-guess: rebuild every partial from the store
+            fs_delete(self.spark, self.staging_dir)
+            self._bucket_partials(store, None).write.partitionBy("lb").mode(
+                "overwrite"
+            ).parquet(self.staging_dir)
+            fs_delete(self.spark, self.parts_dir)
+            if not fs_rename(self.spark, self.staging_dir, self.parts_dir):
+                raise IOError(
+                    f"HostAgg: rename {self.staging_dir} -> {self.parts_dir} failed"
+                )
+            self._write_meta(store.merged_through(), store.buckets)
+            return {"rebuilt": True, "refreshed_buckets": store.buckets}
+
+        touched = sorted(int(k) for k in touched)
+        if touched:
+            fs_delete(self.spark, self.staging_dir)
+            self._bucket_partials(store, touched).write.partitionBy("lb").mode(
+                "overwrite"
+            ).parquet(self.staging_dir)
+            fs_mkdirs(self.spark, self.parts_dir)
+            for k in touched:
+                name = f"lb={k}"
+                live = f"{self.parts_dir}/{name}"
+                staged = f"{self.staging_dir}/{name}"
+                # a touched bucket can legitimately produce ZERO partial
+                # rows (all tombstones / intra-host / unparseable) — the
+                # stale live dir must still go
+                fs_delete(self.spark, live)
+                if fs_exists(self.spark, staged) and not fs_rename(
+                    self.spark, staged, live
+                ):
+                    raise IOError(f"HostAgg: rename {staged} -> {live} failed")
+            fs_delete(self.spark, self.staging_dir)
+        self._write_meta(store.merged_through(), store.buckets)
+        return {"rebuilt": False, "refreshed_buckets": len(touched)}
+
+    def host_edges(self) -> DataFrame:
+        """The full (src_host, dst_host, weight) roll-up: one hash agg over
+        the partials — O(host edges), with no page-corpus scan. Exactly
+        equal to ``host_edges(store.current_pairs())`` (integer partials)."""
+        from linkgraph.io import read_parquet_or_empty
+
+        parts = read_parquet_or_empty(self.spark, self.parts_dir, self._PART_SCHEMA)
+        return parts.groupBy("src_host", "dst_host").agg(
+            F.sum("w").cast("double").alias("weight")
+        )

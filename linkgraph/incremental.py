@@ -34,6 +34,13 @@ Hadoop-FS path — local, hdfs://, s3a://):
     links/        LinkStore root (link_store_rank_poll variant)
     dict/         stable url -> id dictionary
     ranks/        latest converged (id, rank)
+    hostagg/      per-bucket host-edge partials (host_store_rank_poll)
+    hostdict/     stable host -> id dictionary     (host_store_rank_poll)
+    host_ranks/   latest converged host (id, rank) (host_store_rank_poll)
+
+``host_store_rank_poll`` is the steady-state form of the A11 host
+roll-up: LinkStore merge + ``hostgraph.HostAgg`` touched-bucket partial
+refresh + warm-started weighted host rank — no per-poll page-corpus scan.
 """
 
 from __future__ import annotations
@@ -157,6 +164,110 @@ def incremental_rank_poll(
     return _extend_dict_and_rank(
         spark, state_dir, pairs, urls, damping, eps, max_iters, partitions, t0
     )
+
+
+def host_store_rank_poll(
+    spark: SparkSession,
+    pages_path: str,
+    state_dir: str,
+    damping: float = PR_DAMPING,
+    eps: float = PR_EPS,
+    max_iters: int = PR_MAX_ITERS,
+    partitions: int = 32,
+    buckets: int = 64,
+    keep_intra: bool = False,
+) -> dict:
+    """One poll of the steady-state HOST-rank loop: the incremental form of
+    ``hostgraph.host_pagerank`` (the A11 derived product), with no per-poll
+    page-corpus scan anywhere.
+
+    Per poll: LinkStore ingest+merge (O(new + touched buckets)), then
+    ``hostgraph.HostAgg.refresh`` brings the per-bucket host-edge partials
+    current by re-rolling ONLY the touched buckets, the full roll-up is one
+    hash agg over those partials (O(host edges)), the stable HOST
+    dictionary extends (known hosts keep ids — id-keyed rank state
+    survives polls), and weighted PageRank warm-starts from the previous
+    poll's host ranks. Converged ranks are identical to a from-scratch
+    batch ``host_pagerank`` over the store's current pairs (the fixpoint
+    is unique per graph; tested in test_incremental.py).
+
+    State under ``state_dir``: links/ (LinkStore), hostagg/ (partials),
+    hostdict/ (stable host -> id), host_ranks/ (latest converged ranks).
+    """
+    from linkgraph.hostgraph import HostAgg, _rank_host_edges
+    from linkgraph.io import committed_overwrite, read_committed_or_none
+    from linkgraph.linkstore import LinkStore
+
+    t0 = time.monotonic()
+    store = LinkStore(spark, f"{state_dir}/links", buckets=buckets)
+    prev = store.merged_through()  # the watermark HostAgg must be at
+    store.ingest(pages_path)
+    mstats = store.merge()
+    agg = HostAgg(spark, f"{state_dir}/hostagg", keep_intra=keep_intra)
+    rstats = agg.refresh(
+        store, mstats["touched_buckets"], expected_merged_through=prev
+    )
+
+    hedges = agg.host_edges().persist()
+    try:
+        n_hedges = hedges.count()
+        extra = {
+            "host_edges": n_hedges,
+            "new_rows": mstats["new_rows"],
+            "touched_buckets": len(mstats["touched_buckets"]),
+            "partials_rebuilt": rstats["rebuilt"],
+        }
+
+        # stable HOST dictionary — same contract as the page loop's dict:
+        # known hosts keep ids, novel hosts append above max, staged swap.
+        # Candidates are the roll-up's endpoints: O(hosts), not O(pages).
+        dict_path = f"{state_dir}/hostdict"
+        existing = read_committed_or_none(spark, dict_path, "id long, url string")
+        if existing is None:
+            existing = spark.createDataFrame([], "id long, url string")
+        hosts = hedges.select(F.col("src_host").alias("url")).unionByName(
+            hedges.select(F.col("dst_host").alias("url"))
+        )
+        hdict = extend_vertex_ids(
+            existing, hosts, partitions=partitions
+        ).localCheckpoint(eager=True)
+        n_hosts = hdict.count()
+        if n_hosts == 0:
+            return {
+                "hosts": 0, "iterations": 0, "warm_started": False,
+                "seconds": round(time.monotonic() - t0, 3), **extra,
+            }
+        committed_overwrite(spark, hdict, dict_path)
+
+        ranks_path = f"{state_dir}/host_ranks"
+        init_ranks = read_committed_or_none(spark, ranks_path, "id long, rank double")
+        res = _rank_host_edges(
+            spark,
+            hedges,
+            damping=damping,
+            eps=eps,
+            max_iters=max_iters,
+            partitions=partitions,
+            salted=False,
+            init_ranks=init_ranks,
+            hdict=hdict,
+        )
+        state = res.state.select("id", "rank")
+        if res.iterations == 0:
+            # 0-iteration state is a lazy plan over the ranks files being
+            # replaced — break it (same hazard as the page loop)
+            state = state.localCheckpoint(eager=True)
+        committed_overwrite(spark, state, ranks_path)
+    finally:
+        hedges.unpersist()
+
+    return {
+        "hosts": n_hosts,
+        "iterations": res.iterations,
+        "warm_started": init_ranks is not None,
+        "seconds": round(time.monotonic() - t0, 3),
+        **extra,
+    }
 
 
 def link_store_rank_poll(

@@ -77,3 +77,62 @@ def test_host_pagerank_equals_weighted_kernel_on_rolled_graph(spark, url_pairs):
     assert set(got) == set(name_to_id)
     for host, rank in got.items():
         assert np.isclose(rank, want[name_to_id[host]], rtol=0, atol=1e-12)
+
+
+def test_hostagg_refuses_to_guess_on_meta_mismatch(spark, tmp_path):
+    """HostAgg's touched-bucket fast path is gated on its meta proving the
+    partials are exactly one merge behind; ANY mismatch (stale
+    merged_through from a crash between store.merge and agg.refresh, or a
+    bucket-count change from split()) forces a full rebuild that restores
+    exact equality with the batch roll-up."""
+    import datetime
+
+    from linkgraph.hostgraph import HostAgg, host_edges
+    from linkgraph.linkstore import LinkStore
+
+    ts = datetime.datetime(2024, 6, 1)
+    rows = [
+        (f"https://s{i % 5}.example/p{i}", ts, "fp0", f"https://s{(i + 1) % 5}.example/p{i + 1}")
+        for i in range(40)
+    ]
+    store = LinkStore(spark, str(tmp_path / "links"), buckets=8)
+    spark.createDataFrame(
+        rows, "src_url string, warc_ts timestamp, crawl_fp string, dst_url string"
+    ).coalesce(1).write.parquet(f"{store.deltas_dir}/d=0")
+    m = store.merge()
+    assert m["new_rows"] == 40
+
+    def batch():
+        return {
+            (r["src_host"], r["dst_host"]): r["weight"]
+            for r in host_edges(store.current_pairs()).collect()
+        }
+
+    agg = HostAgg(spark, str(tmp_path / "hostagg"))
+    r1 = agg.refresh(store, m["touched_buckets"], expected_merged_through=-1)
+    assert r1["rebuilt"]  # first use: no meta
+    got1 = {
+        (r["src_host"], r["dst_host"]): r["weight"]
+        for r in agg.host_edges().collect()
+    }
+    assert got1 == batch() != {}
+
+    # matched meta + nothing new: the fast path runs and touches nothing
+    r2 = agg.refresh(store, [], expected_merged_through=store.merged_through())
+    assert not r2["rebuilt"] and r2["refreshed_buckets"] == 0
+
+    # crash-between-merge-and-refresh shape: agg meta is behind the
+    # expected watermark -> full rebuild, not a guess at which buckets
+    agg._write_meta(-5, store.buckets)
+    r3 = agg.refresh(store, [], expected_merged_through=store.merged_through())
+    assert r3["rebuilt"]
+
+    # split() shape: bucket count changed under the partials -> rebuild
+    agg._write_meta(store.merged_through(), store.buckets * 2)
+    r4 = agg.refresh(store, [3], expected_merged_through=store.merged_through())
+    assert r4["rebuilt"]
+    got4 = {
+        (r["src_host"], r["dst_host"]): r["weight"]
+        for r in agg.host_edges().collect()
+    }
+    assert got4 == batch()

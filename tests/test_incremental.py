@@ -120,3 +120,116 @@ def test_incremental_poll_warm_start_matches_batch(spark, tmp_path):
         both["inc_rank"].to_numpy(), both["batch_rank"].to_numpy(),
         rtol=0, atol=100 * eps,
     )
+
+
+def _recrawl_rows(spark, pages, targets, add_link_to=None, kill=()):
+    """Re-crawls of ``targets`` (same shape as the linkstore tests'
+    helper): byte-identical html except the first optionally gains a link;
+    urls in ``kill`` are re-crawled with NO links (tombstones)."""
+    originals = {
+        r["url"]: bytes(r["html"]).decode()
+        for r in pages.filter(F.col("url").isin(list(targets) + list(kill)))
+        .select("url", "html")
+        .collect()
+    }
+    rows = []
+    for i, u in enumerate(targets):
+        html = originals[u]
+        if i == 0 and add_link_to is not None:
+            html = html.replace("</body>", f'<a href="{add_link_to}">new</a></body>')
+        rows.append((u, datetime.datetime(2024, 6, 1, 12, 0, i), html.encode(), "", "en"))
+    for j, u in enumerate(kill):
+        rows.append(
+            (u, datetime.datetime(2024, 6, 1, 13, 0, j), b"<html><body>dead</body></html>", "", "en")
+        )
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+
+def test_host_store_rank_poll_matches_batch_host_pagerank(spark, tmp_path):
+    """Steady-state host-rank loop: three polls (fresh crawl, re-crawl with
+    a new cross-host link, tombstone) over a LinkStore. After every poll
+    the HostAgg partials sum EXACTLY to the batch roll-up over the store's
+    current pairs; the second and third polls warm-start, refresh only the
+    touched buckets (no full rebuild), keep every host's id stable, and
+    the final converged host ranks equal a from-scratch batch
+    host_pagerank over the same pairs."""
+    from linkgraph.hostgraph import host_edges, host_pagerank
+    from linkgraph.incremental import host_store_rank_poll
+    from linkgraph.linkstore import LinkStore
+    from linkgraph.synth import gen_pages
+
+    eps = 1e-9
+    buckets = 8
+    stage = str(tmp_path / "pages")
+    state = str(tmp_path / "state")
+
+    pages1 = gen_pages(spark, 60)
+    urls = [r["url"] for r in pages1.select("url").orderBy("url").limit(10).collect()]
+
+    def batch_rollup():
+        store = LinkStore(spark, f"{state}/links", buckets=None)
+        return {
+            (r["src_host"], r["dst_host"]): r["weight"]
+            for r in host_edges(store.current_pairs()).collect()
+        }
+
+    def agg_rollup():
+        from linkgraph.hostgraph import HostAgg
+
+        return {
+            (r["src_host"], r["dst_host"]): r["weight"]
+            for r in HostAgg(spark, f"{state}/hostagg").host_edges().collect()
+        }
+
+    pages1.coalesce(1).write.mode("overwrite").parquet(stage)
+    m1 = host_store_rank_poll(
+        spark, stage, state, eps=eps, max_iters=200, partitions=8, buckets=buckets
+    )
+    assert not m1["warm_started"] and m1["partials_rebuilt"]  # first use
+    assert m1["hosts"] > 1 and m1["host_edges"] > 0
+    assert agg_rollup() == batch_rollup() != {}
+    dict1 = {r["url"]: r["id"] for r in spark.read.parquet(f"{state}/hostdict").collect()}
+
+    # poll 2: re-crawl 3 pages, one gains a link to the last url
+    recrawl = _recrawl_rows(spark, pages1, urls[:3], add_link_to=urls[-1])
+    recrawl.coalesce(1).write.mode("append").parquet(stage)
+    m2 = host_store_rank_poll(
+        spark, stage, state, eps=eps, max_iters=200, partitions=8, buckets=buckets
+    )
+    assert m2["warm_started"] and not m2["partials_rebuilt"]
+    assert 0 < m2["touched_buckets"] < buckets  # incremental, not a rescan
+    assert agg_rollup() == batch_rollup()
+
+    # poll 3: a page dies — its host edges must shrink/vanish from the agg
+    kill = _recrawl_rows(spark, pages1, [], kill=[urls[1]])
+    kill.coalesce(1).write.mode("append").parquet(stage)
+    m3 = host_store_rank_poll(
+        spark, stage, state, eps=eps, max_iters=200, partitions=8, buckets=buckets
+    )
+    assert m3["warm_started"] and not m3["partials_rebuilt"]
+    assert agg_rollup() == batch_rollup()
+
+    # host ids stable across all polls
+    dict3 = {r["url"]: r["id"] for r in spark.read.parquet(f"{state}/hostdict").collect()}
+    for h, i in dict1.items():
+        assert dict3[h] == i, f"host {h} renumbered across polls"
+
+    # converged poll ranks == from-scratch batch host_pagerank on the same
+    # current pairs, joined by host string
+    store = LinkStore(spark, f"{state}/links", buckets=None)
+    batch = host_pagerank(
+        spark, store.current_pairs(), eps=eps, max_iters=200, partitions=8
+    ).withColumnRenamed("rank", "batch_rank")
+    inc = (
+        spark.read.parquet(f"{state}/host_ranks")
+        .join(spark.read.parquet(f"{state}/hostdict"), "id")
+        .select(F.col("url").alias("host"), F.col("rank").alias("inc_rank"))
+    )
+    both = inc.join(batch, "host").toPandas()
+    assert len(both) == inc.count() > 0
+    assert np.allclose(
+        both["inc_rank"].to_numpy(), both["batch_rank"].to_numpy(),
+        rtol=0, atol=100 * eps,
+    )
