@@ -848,3 +848,87 @@ def _make_sem_step(
         return _apply(state, msgs, damping, personalized)
 
     return step
+
+
+# --------------------------------------------------- kernel V4: delta/frontier
+
+def pagerank_delta(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    damping: float = PR_DAMPING,
+    threshold: float = PR_EPS,
+    max_iters: int = PR_MAX_ITERS,
+    partitions: int | None = None,
+    engine: SuperstepEngine | None = None,
+    resume: bool = False,
+) -> RunResult:
+    """Delta/frontier PageRank: only vertices whose rank CHANGED last
+    superstep send messages (FlashGraph's activation model — its PageRank
+    vertex program activates out-neighbors only on a significant delta,
+    the same frontier machinery as SURVEY.md A6).
+
+    Algebra: with Δ_0(v) = r_0(v) = 1-d, the power-iteration recurrence
+    r_k(v) = (1-d) + d·Σ r_{k-1}(u)/deg(u) is equivalent to pushing only
+    the CHANGE: Δ_k(v) = d·Σ_{u→v, |Δ_{k-1}(u)|>θ} Δ_{k-1}(u)/deg(u) and
+    r_k = r_{k-1} + Δ_k. With θ=0 this IS power iteration (same
+    per-iteration values up to fp summation order); with θ>0 the active
+    frontier SHRINKS as vertices converge, so each superstep's gather join
+    touches only the frontier's out-edges — the convergence tail costs
+    O(Σ_k |E(active_k)|) instead of O(iters·|E|). Dropped-mass error model
+    (θ>0): a deactivated u withholds a push ≤ θ/deg(u) per out-edge per
+    round, so over R rounds err(v) ≤ d·θ·R·Σ_{u→v} 1/deg(u); since
+    r(v) ≥ (1-d)·(1 + d·Σ_{u→v} 1/deg(u)) the RELATIVE error is bounded
+    by θ·R/(1-d) uniformly — but the ABSOLUTE error grows with in-degree
+    (a 10^5-in-degree hub at θ=1e-6 can be off by ~θ·R·indeg·avg(1/deg)
+    in rank units; measured on the hub-heavy bench graph in
+    jobs/ab_pagerank_delta.py). Pick θ against the RELATIVE band you
+    need: θ=1e-9 keeps even hub ranks inside the 1e-6 acceptance band on
+    the test fixtures; θ=0 is exact.
+
+    Convergence = empty frontier (no |Δ| above θ), observed for free on
+    the superstep materialization (ObservedStop). Terminal state columns:
+    (id, rank, out_deg, delta).
+
+    Cold-start only: an incremental re-rank should use
+    ``pagerank(init_ranks=...)`` — warm deltas against a CHANGED graph
+    additionally need per-edge correction terms this kernel does not carry.
+    """
+    from linkgraph.engine import ObservedStop
+
+    engine = engine or SuperstepEngine(spark)
+    partitions = resolve_partitions(spark, edges, partitions)
+    edges = gather_layout(edges, partitions)
+    base = _initial_state(edges, vertices, damping)
+    state0 = base.select("id", "rank", "out_deg", F.col("rank").alias("delta"))
+
+    def step(state: DataFrame, iteration: int) -> DataFrame:
+        frontier = state.filter(
+            (F.abs(F.col("delta")) > threshold) & (F.col("out_deg") > 0)
+        ).select(
+            F.col("id").alias("src_id"),
+            (F.col("delta") / F.col("out_deg")).alias("push"),
+        )
+        gathered = edges.join(frontier, "src_id").select("dst_id", "push")
+        msgs = gathered.groupBy("dst_id").agg(F.sum("push").alias("sum_push"))
+        joined = state.join(msgs, state["id"] == msgs["dst_id"], "left")
+        new_delta = F.lit(damping) * F.coalesce(F.col("sum_push"), F.lit(0.0))
+        return joined.select(
+            state["id"],
+            (state["rank"] + new_delta).alias("rank"),
+            state["out_deg"],
+            new_delta.alias("delta"),
+        )
+
+    stop = ObservedStop(
+        metrics=lambda: {
+            "active": F.sum((F.abs(F.col("delta")) > threshold).cast("long"))
+        },
+        decide=lambda m, it: int(m["active"] or 0) == 0,
+    )
+    try:
+        return engine.run(
+            state0, step, max_iters=max_iters, should_stop=stop, resume=resume
+        )
+    finally:
+        edges.unpersist()

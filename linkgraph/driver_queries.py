@@ -156,6 +156,20 @@ def q_graph_pagerank_5iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_graph_pagerank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics via the V4 delta/frontier kernel at θ=0 (push-the-
+    change ≡ power iteration when nothing deactivates). Not in the 50-entry
+    driver window — pinned by tests/test_algos.py::
+    test_pagerank_delta_theta0_equals_power_iteration (≡ V1 at 1e-12, so
+    transitively covered by graph_pagerank_5iter's unrolled-CTE oracle);
+    registerable here unchanged if the window is ever re-shuffled."""
+    from linkgraph.algos import pagerank_delta
+
+    e = lineitem_edges(spark, sf_dir)
+    res = pagerank_delta(spark, e, threshold=0.0, max_iters=5)
+    return res.state.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_graph_pagerank_5iter_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same semantics via the raw cogrouped CSR applyInPandas kernel
     (V2 ≡ V1 gate). In production kernel="csr" routes to the semi-external

@@ -635,6 +635,49 @@ def test_pagerank_warm_start_converges_faster_same_fixpoint(
     )
 
 
+def test_pagerank_delta_theta0_equals_power_iteration(
+    spark, wiki_edges_df, wiki_vertices_df
+):
+    """V4 delta/frontier with θ=0 ≡ V1 power iteration within 1e-12 on a
+    fixed 15-iteration run — the algebraic identity Δ_k = r_k − r_{k-1}
+    makes push-the-change exactly power iteration when nothing is
+    deactivated."""
+    from linkgraph.algos import pagerank_delta
+
+    sql_r = pagerank(
+        spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=15, eps=0.0
+    )
+    dlt_r = pagerank_delta(
+        spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=15, threshold=0.0
+    )
+    a = _vec(sql_r.state.select("id", "rank"), "rank")
+    b = _vec(dlt_r.state.select("id", "rank"), "rank")
+    assert np.allclose(a, b, rtol=0, atol=1e-12)
+
+
+def test_pagerank_delta_frontier_shrinks_and_hits_golden(
+    spark, wiki_edges_df, wiki_vertices_df
+):
+    """θ=1e-9 convergence run: (a) ranks within the 1e-6 acceptance band
+    of the committed golden (dropped-mass bound holds in practice), (b)
+    the active frontier SHRINKS — the whole point of the kernel: tail
+    supersteps gather only the unconverged vertices' out-edges — and (c)
+    the run self-terminates on an empty frontier before max_iters."""
+    from linkgraph.algos import pagerank_delta
+
+    res = pagerank_delta(
+        spark, wiki_edges_df, vertices=wiki_vertices_df,
+        threshold=1e-9, max_iters=300,
+    )
+    got = _vec(res.state.select("id", "rank"), "rank")
+    want = golden("pagerank").sort_values("id")["rank"].to_numpy()
+    assert np.allclose(got, want, rtol=0, atol=1e-6)
+    assert res.iterations < 300  # self-terminated on empty frontier
+    actives = [int(m["active"]) for m in res.metrics if "active" in m]
+    assert actives[-1] == 0
+    assert actives[-2] < actives[0]  # the frontier actually shrank
+
+
 def test_wcc_salted_equals_plain(spark, wiki_edges_df, wiki_vertices_df):
     """Hybrid salted MIN combine ≡ plain WCC (exact) — hub_threshold forced
     low so the fixture has a non-empty hot set and BOTH paths execute."""

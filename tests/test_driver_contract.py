@@ -54,6 +54,12 @@ DROPPED_QUERY_COVERAGE = {
     "graph_pagerank_5iter_csr": ("test_algos.py", "test_pagerank_csr_equals_sql_kernel"),
     # graph_lp_1round: 1-round LP is round 1 of the 3-round unrolled oracle
     "graph_lp_1round": ("test_algos.py", "test_lp_exact"),
+    # graph_pagerank_delta: V4 delta/frontier kernel ≡ V1 within 1e-12 at
+    # θ=0 (so transitively covered by graph_pagerank_5iter's oracle), plus
+    # a golden-convergence + frontier-shrinkage gate at θ=1e-9
+    "graph_pagerank_delta": (
+        "test_algos.py", "test_pagerank_delta_theta0_equals_power_iteration",
+    ),
 }
 
 
