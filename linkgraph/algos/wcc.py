@@ -36,6 +36,7 @@ def wcc(
     partitions: int | None = None,
     salted: bool = False,
     hub_threshold: int | None = None,
+    init_comps: DataFrame | None = None,
 ) -> RunResult:
     """Run WCC to fixpoint; result state = (id, comp, changed).
 
@@ -44,6 +45,24 @@ def wcc(
     conventions.HUB_OUTDEG_THRESHOLD) — the same insurance as PageRank's
     salted sum for the 1000-executor regime where a hub dst receives one
     partial per task; the tail keeps the direct map-combined path.
+
+    ``init_comps``: optional (id, comp) seed labels from a previous WCC
+    run on a SUBGRAPH of ``edges`` (the grow-only incremental-crawl case:
+    the new poll only ADDED pages/links). Sound because min-propagation
+    converges to the minimum INITIAL label reachable in each component,
+    and every seed label is itself the id of a vertex inside the seeded
+    vertex's (old ⊆ new) component and ≥ that component's min id — so the
+    fixpoint is still exactly the component-min vertex id. The win is
+    ROUNDS, not messages: distances to the old component minima are
+    already collapsed to 0, so only newly-added bridges propagate.
+    UNSOUND after edge/page REMOVAL (components can split; a stale small
+    label would survive) — callers must cold-start then; the incremental
+    poll (``incremental.link_store_components_poll``) gates on the
+    store's replaced-src count. Vertices absent from the seeds start at
+    their own id; duplicate seed rows take the min, which is still a
+    valid label. Initial frontier = ALL vertices (every label must be
+    offered to neighbors once — a warm label is only correct to keep if
+    the neighborhood has seen it).
     """
     from linkgraph.conventions import HUB_OUTDEG_THRESHOLD
     from linkgraph.skew import salted_agg
@@ -57,6 +76,16 @@ def wcc(
     state0 = ids.select(
         "id", F.col("id").alias("comp"), F.lit(True).alias("changed")
     )
+    if init_comps is not None:
+        # min-deduped on id: min of valid labels is a valid label; a raw
+        # duplicate row would duplicate the whole state row (same hazard
+        # class as pagerank's init_ranks dedup)
+        seed = init_comps.groupBy("id").agg(F.min("comp").alias("__seed"))
+        state0 = state0.join(seed, "id", "left").select(
+            "id",
+            F.least(F.col("id"), F.coalesce("__seed", F.col("id"))).alias("comp"),
+            F.lit(True).alias("changed"),
+        )
     hot = None
     if salted:
         hot = (

@@ -307,3 +307,93 @@ def link_store_rank_poll(
             "touched_buckets": len(mstats["touched_buckets"]),
         },
     )
+
+
+def link_store_components_poll(
+    spark: SparkSession,
+    pages_path: str,
+    state_dir: str,
+    max_iters: int = 200,
+    partitions: int = 32,
+    buckets: int = 64,
+) -> dict:
+    """One poll of the steady-state COMPONENTS loop: maintain the latest
+    WCC labels across a continuous crawl, warm-starting when it is sound.
+
+    Soundness gate: min-label propagation warm-started from the previous
+    poll's labels is correct only if the graph GREW (wcc ``init_comps``
+    docstring — removals can split components and strand a stale small
+    label). The store itself supplies the evidence: ``merge(
+    track_replaced=True)`` counts srcs whose winner rows were replaced by
+    this poll (re-crawls / tombstones — the only events that remove
+    edges). replaced_srcs == 0 → warm start from ``comps/`` (tail polls
+    converge in a couple of rounds: old components' label distances are
+    already 0, only new bridges propagate); otherwise cold start. Either
+    way the result equals a from-scratch ``wcc`` over the store's current
+    pairs (tested in test_incremental.py), covering the currently-linked
+    pages (isolated/tombstoned urls carry no component row, same as the
+    batch path deriving vertices from edges).
+
+    State under ``state_dir``: links/ (LinkStore), dict/ (stable url→id —
+    SHARED with the rank poll so both products key one id space), comps/
+    (latest (id, comp))."""
+    from linkgraph.algos import wcc
+    from linkgraph.io import committed_overwrite, read_committed_or_none
+    from linkgraph.linkstore import LinkStore
+
+    t0 = time.monotonic()
+    store = LinkStore(spark, f"{state_dir}/links", buckets=buckets)
+    store.ingest(pages_path)
+    mstats = store.merge(track_replaced=True)
+    candidates = store.changed_urls(mstats["touched_buckets"])
+
+    # stable dictionary, same contract + staged swap as the rank poll
+    dict_path = f"{state_dir}/dict"
+    existing = read_committed_or_none(spark, dict_path, "id long, url string")
+    if existing is None:
+        existing = spark.createDataFrame([], "id long, url string")
+    dictionary = extend_vertex_ids(
+        existing, candidates, partitions=partitions
+    ).localCheckpoint(eager=True)
+    n_urls = dictionary.count()
+    extra = {
+        "new_rows": mstats["new_rows"],
+        "touched_buckets": len(mstats["touched_buckets"]),
+        "replaced_srcs": mstats["replaced_srcs"],
+    }
+    if n_urls == 0:
+        return {
+            "urls": 0, "edges": 0, "iterations": 0, "warm_started": False,
+            "seconds": round(time.monotonic() - t0, 3), **extra,
+        }
+    committed_overwrite(spark, dictionary, dict_path)
+
+    edges = pairs_to_edges(store.current_pairs(), dictionary).persist()
+    try:
+        n_edges = edges.count()
+        comps_path = f"{state_dir}/comps"
+        prev = read_committed_or_none(spark, comps_path, "id long, comp long")
+        warm = prev is not None and mstats["replaced_srcs"] == 0
+        res = wcc(
+            spark,
+            edges,
+            max_iters=max_iters,
+            partitions=partitions,
+            init_comps=prev if warm else None,
+        )
+        state = res.state.select("id", "comp")
+        if res.iterations == 0:
+            # same lazy-plan-over-replaced-files hazard as the rank loop
+            state = state.localCheckpoint(eager=True)
+        committed_overwrite(spark, state, comps_path)
+    finally:
+        edges.unpersist()
+
+    return {
+        "urls": n_urls,
+        "edges": n_edges,
+        "iterations": res.iterations,
+        "warm_started": warm,
+        "seconds": round(time.monotonic() - t0, 3),
+        **extra,
+    }

@@ -223,15 +223,27 @@ class LinkStore:
             df = df.filter(F.col("lb").isin([int(k) for k in touched]))
         return df
 
-    def merge(self, keep_deltas: int = 4) -> dict:
+    def merge(self, keep_deltas: int = 4, track_replaced: bool = False) -> dict:
         """Fold all unmerged deltas into ``latest/``; returns merge stats.
         Safe to call after any crash — see the module docstring's
-        idempotence argument."""
+        idempotence argument.
+
+        ``track_replaced`` adds ``replaced_srcs``: how many of the poll's
+        src_urls already had winner rows before this merge (re-crawls /
+        tombstones — the events that can REMOVE edges). 0 means the poll
+        was grow-only, which is the precondition for warm-starting
+        monotone label state (``wcc(init_comps=...)``). One extra
+        partition-pruned scan of the touched buckets, so opt-in.
+        Conservative on crash replay: a replayed delta's srcs are already
+        winners, count as replaced, and merely force one cold start."""
         self._repair_asides()
         done = self.merged_through()
         unmerged = [i for i in self._delta_indices() if i > done]
         if not unmerged:
-            return {"new_rows": 0, "touched_buckets": [], "merged_through": done}
+            out = {"new_rows": 0, "touched_buckets": [], "merged_through": done}
+            if track_replaced:
+                out["replaced_srcs"] = 0
+            return out
 
         new = None
         for i in unmerged:
@@ -245,12 +257,24 @@ class LinkStore:
         if n_new == 0:
             self._write_meta(high)
             self._prune_deltas(high, keep_deltas)
-            return {"new_rows": 0, "touched_buckets": [], "merged_through": high}
+            out = {"new_rows": 0, "touched_buckets": [], "merged_through": high}
+            if track_replaced:
+                out["replaced_srcs"] = 0
+            return out
 
         touched = sorted(
             r["lb"] for r in new.select("lb").distinct().collect()
         )  # bounded by self.buckets — driver-side metadata, like BFS sources
         cur = self._read_latest(touched)
+        replaced_srcs = None
+        if track_replaced:
+            # must be counted BEFORE the bucket swap replaces latest/
+            replaced_srcs = (
+                new.select("src_url")
+                .distinct()
+                .join(cur.select("src_url").distinct(), "src_url", "left_semi")
+                .count()
+            )
         merged = latest_rows(cur.unionByName(new)).withColumn(
             "lb", self._lb(F.col("src_url"))
         )
@@ -279,7 +303,10 @@ class LinkStore:
 
         self._write_meta(high)
         self._prune_deltas(high, keep_deltas)
-        return {"new_rows": n_new, "touched_buckets": touched, "merged_through": high}
+        out = {"new_rows": n_new, "touched_buckets": touched, "merged_through": high}
+        if track_replaced:
+            out["replaced_srcs"] = replaced_srcs
+        return out
 
     # --------------------------------------------------------------- split
     def split(self) -> dict:

@@ -678,6 +678,36 @@ def test_pagerank_delta_frontier_shrinks_and_hits_golden(
     assert actives[-2] < actives[0]  # the frontier actually shrank
 
 
+def test_wcc_warm_start_exact_on_grown_graph(spark, wiki_edges_df, wiki_vertices_df):
+    """``init_comps`` from a WCC run on a SUBGRAPH: warm-started WCC on
+    the grown graph returns exactly the cold labels (grow-only soundness —
+    every seed label is the id of a vertex in the same, possibly merged,
+    component) in no more rounds, and duplicate seed rows don't duplicate
+    state."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    sub = wiki_edges_df.filter(
+        F.pmod(F.xxhash64("src_id", "dst_id"), F.lit(10)) != 0
+    )
+    base = wcc(spark, sub, vertices=wiki_vertices_df)
+    seeds = base.state.select("id", "comp")
+
+    cold = wcc(spark, wiki_edges_df, vertices=wiki_vertices_df)
+    warm = wcc(spark, wiki_edges_df, vertices=wiki_vertices_df, init_comps=seeds)
+    a = _vec(cold.state.select("id", "comp"), "comp")
+    b = _vec(warm.state.select("id", "comp"), "comp")
+    assert np.array_equal(a, b)
+    assert warm.iterations <= cold.iterations
+
+    dup = wcc(
+        spark, wiki_edges_df, vertices=wiki_vertices_df,
+        init_comps=seeds.unionByName(seeds),
+    )
+    assert dup.state.count() == warm.state.count()
+    assert np.array_equal(_vec(dup.state.select("id", "comp"), "comp"), b)
+
+
 def test_wcc_salted_equals_plain(spark, wiki_edges_df, wiki_vertices_df):
     """Hybrid salted MIN combine ≡ plain WCC (exact) — hub_threshold forced
     low so the fixture has a non-empty hot set and BOTH paths execute."""

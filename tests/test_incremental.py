@@ -233,3 +233,101 @@ def test_host_store_rank_poll_matches_batch_host_pagerank(spark, tmp_path):
         both["inc_rank"].to_numpy(), both["batch_rank"].to_numpy(),
         rtol=0, atol=100 * eps,
     )
+
+
+def test_link_store_components_poll_matches_batch_wcc(spark, tmp_path):
+    """Three polls of the components loop: cold bootstrap, a GROW-ONLY
+    poll (new pages only — warm start fires, gated on replaced_srcs==0),
+    and a re-crawl poll (gate forces a cold start). After every poll the
+    committed labels equal a from-scratch wcc over the store's current
+    pairs, joined by url."""
+    import datetime as dt
+
+    from linkgraph.algos import wcc
+    from linkgraph.build import pairs_to_edges
+    from linkgraph.incremental import link_store_components_poll
+    from linkgraph.linkstore import LinkStore
+    from linkgraph.synth import gen_pages, page_url
+
+    stage = str(tmp_path / "pages")
+    state = str(tmp_path / "state")
+    buckets = 8
+
+    def poll():
+        return link_store_components_poll(
+            spark, stage, state, max_iters=200, partitions=8, buckets=buckets
+        )
+
+    def assert_matches_batch():
+        store = LinkStore(spark, f"{state}/links", buckets=None)
+        dictionary = spark.read.parquet(f"{state}/dict")
+        edges = pairs_to_edges(store.current_pairs(), dictionary)
+        batch = (
+            wcc(spark, edges, partitions=8)
+            .state.join(dictionary, "id")
+            # component labels are ids — compare by the url of the label's
+            # vertex so the check is id-space independent
+            .select(F.col("url").alias("u"), F.col("comp"))
+            .join(
+                dictionary.select(F.col("id").alias("comp"), F.col("url").alias("comp_url")),
+                "comp",
+            )
+            .select("u", "comp_url")
+        )
+        inc = (
+            spark.read.parquet(f"{state}/comps")
+            .join(dictionary, "id")
+            .select(F.col("url").alias("u"), F.col("comp"))
+            .join(
+                dictionary.select(F.col("id").alias("comp"), F.col("url").alias("comp_url")),
+                "comp",
+            )
+            .select("u", "comp_url")
+        )
+        got = {(r["u"], r["comp_url"]) for r in inc.collect()}
+        want = {(r["u"], r["comp_url"]) for r in batch.collect()}
+        assert got == want and len(got) > 0
+
+    pages1 = gen_pages(spark, 60)
+    pages1.coalesce(1).write.mode("overwrite").parquet(stage)
+    m1 = poll()
+    assert not m1["warm_started"] and m1["edges"] > 0
+    assert_matches_batch()
+    dict1 = {r["url"]: r["id"] for r in spark.read.parquet(f"{state}/dict").collect()}
+
+    # poll 2: GROW-ONLY — brand-new pages linking into the existing graph
+    targets = [r["url"] for r in pages1.select("url").orderBy("url").limit(4).collect()]
+    new_rows = [
+        (
+            page_url(1000 + i),
+            dt.datetime(2024, 6, 2, 12, 0, i),
+            (
+                "<html><body>"
+                + f'<a href="{targets[i]}">t</a><a href="{page_url(1001 + i)}">n</a>'
+                + "</body></html>"
+            ).encode(),
+            "",
+            "en",
+        )
+        for i in range(3)
+    ]
+    spark.createDataFrame(
+        new_rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).coalesce(1).write.mode("append").parquet(stage)
+    m2 = poll()
+    assert m2["replaced_srcs"] == 0 and m2["warm_started"]
+    assert m2["iterations"] <= m1["iterations"]
+    assert_matches_batch()
+
+    # poll 3: a re-crawl REPLACES an existing src's winner rows — the
+    # grow-only precondition fails and the gate must force a cold start
+    recrawl = _recrawl_rows(spark, pages1, targets[:1], add_link_to=targets[-1])
+    recrawl.coalesce(1).write.mode("append").parquet(stage)
+    m3 = poll()
+    assert m3["replaced_srcs"] > 0 and not m3["warm_started"]
+    assert_matches_batch()
+
+    # url ids stable across all polls
+    dict3 = {r["url"]: r["id"] for r in spark.read.parquet(f"{state}/dict").collect()}
+    for u, i in dict1.items():
+        assert dict3[u] == i, f"{u} renumbered across polls"
