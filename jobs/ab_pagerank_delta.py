@@ -58,8 +58,8 @@ def main() -> None:
     # warm-up arm (JIT/codegen), result discarded
     pagerank(spark, edges, eps=args.eps, max_iters=5)
 
-    times: dict[str, list[float]] = {"power": [], "delta": []}
-    iters: dict[str, list[int]] = {"power": [], "delta": []}
+    times: dict[str, list[float]] = {"power": [], "delta": [], "delta_sem": []}
+    iters: dict[str, list[int]] = {"power": [], "delta": [], "delta_sem": []}
     active_series: list[int] = []
     for _ in range(args.repeats):
         t0 = time.monotonic()
@@ -76,6 +76,24 @@ def main() -> None:
         active_series = [
             int(m["active"]) for m in rd.metrics if m.get("active") is not None
         ]
+
+        t0 = time.monotonic()
+        rs = pagerank_delta(
+            spark, edges, threshold=args.eps, max_iters=500, kernel="sem"
+        )
+        sd_pdf = rs.state.select("id", "rank").toPandas().set_index("id").sort_index()
+        times["delta_sem"].append(round(time.monotonic() - t0, 3))
+        iters["delta_sem"].append(rs.iterations)
+        # deactivation is a θ-boundary decision on fp sums, so the two
+        # delta arms can legitimately differ by the same dropped-mass
+        # bound as delta-vs-power — compare RELATIVE, same formula
+        sem_sql_gap = float(
+            (np.abs(sd_pdf["rank"] - bd_pdf["rank"]) / bd_pdf["rank"]).max()
+        )
+        sem_bound = args.eps * max(rs.iterations, rd.iterations) / 0.15
+        assert sem_sql_gap < 2 * sem_bound, (
+            f"sem vs sql delta arms diverged: rel={sem_sql_gap} vs {sem_bound}"
+        )
 
         abs_diff = float(np.abs(ap_pdf["rank"] - bd_pdf["rank"]).max())
         rel_diff = float(
@@ -95,12 +113,16 @@ def main() -> None:
         "edges": args.edges,
         "power_runs_s": times["power"],
         "delta_runs_s": times["delta"],
+        "delta_sem_runs_s": times["delta_sem"],
         "power_iters": iters["power"][-1],
         "delta_iters": iters["delta"][-1],
+        "delta_sem_iters": iters["delta_sem"][-1],
         "power_min_s": min(times["power"]),
         "delta_min_s": min(times["delta"]),
+        "delta_sem_min_s": min(times["delta_sem"]),
         "speedup_min": round(min(times["power"]) / min(times["delta"]), 3),
         "max_abs_diff": abs_diff,
+        "sem_sql_rel_gap": sem_sql_gap,
         "max_rel_diff": rel_diff,
         "rel_bound": rel_bound,
         "frontier_head": active_series[:3],

@@ -744,17 +744,18 @@ def _sem_spmv_factory(damping: float, token: int, layout_dir: str,
     return sem_spmv
 
 
-def _make_sem_step(
+def _sem_layout(
     spark: SparkSession,
     edges: DataFrame,
-    damping: float,
     partitions: int,
     hub_threshold: int,
     layout_dir: str,
-    personalized: list[int] | None = None,
     reuse_layout: bool = False,
     manifest: bool = True,
 ):
+    """Build (or validate+reuse) the sem edge image; returns the
+    loop-invariant routing artifacts shared by the rank and delta sem
+    kernels: (hubs, n_hubs, edge_parts, parts_df, token, disk_key)."""
     edges_parts, hubs, n_hubs = _routed_edges(edges, partitions, hub_threshold)
     # the graph "image": written once, hive-partitioned by block id — on a
     # cluster this lives on shared storage and each executor pulls only the
@@ -834,6 +835,24 @@ def _make_sem_step(
     disk_key = (
         _sem_disk_key(layout_dir, fingerprint) if fingerprint is not None else None
     )
+    return hubs, n_hubs, edge_parts, parts_df, token, disk_key
+
+
+def _make_sem_step(
+    spark: SparkSession,
+    edges: DataFrame,
+    damping: float,
+    partitions: int,
+    hub_threshold: int,
+    layout_dir: str,
+    personalized: list[int] | None = None,
+    reuse_layout: bool = False,
+    manifest: bool = True,
+):
+    hubs, n_hubs, edge_parts, parts_df, token, disk_key = _sem_layout(
+        spark, edges, partitions, hub_threshold, layout_dir,
+        reuse_layout=reuse_layout, manifest=manifest,
+    )
     kernel = _sem_spmv_factory(damping, token, layout_dir, edge_parts, disk_key)
 
     def step(state: DataFrame, iteration: int) -> DataFrame:
@@ -850,6 +869,104 @@ def _make_sem_step(
     return step
 
 
+# Per-worker CSR extension of a sem block for FRONTIER gathers: indptr over
+# src_uniq + dst_inv grouped by src, so a tail superstep slices only the
+# ACTIVE vertices' adjacency ranges instead of scanning all E edges. Built
+# lazily on first delta-superstep touch (the layout is written sorted by
+# src_id, so dst_inv is usually already grouped and the build is one O(E)
+# monotonicity check); cached beside the block with the same token
+# discipline.
+_SEM_CSR_EXT: dict[tuple[int, int], tuple] = {}
+
+
+def _sem_csr_ext(token: int, part: int, src_inv: np.ndarray,
+                 dst_inv: np.ndarray, n_src: int) -> tuple:
+    key = (token, part)
+    ext = _SEM_CSR_EXT.get(key)
+    if ext is None:
+        for k in [k for k in _SEM_CSR_EXT if k[0] != token]:
+            del _SEM_CSR_EXT[k]
+        counts = np.bincount(src_inv, minlength=n_src)
+        indptr = np.empty(n_src + 1, dtype=np.int64)
+        indptr[0] = 0
+        np.cumsum(counts, out=indptr[1:])
+        if len(src_inv) and not np.all(np.diff(src_inv) >= 0):
+            # blocks are written src-sorted; this fallback only runs for a
+            # hand-built layout that wasn't
+            order = np.argsort(src_inv, kind="stable")
+            dst_by_src = dst_inv[order]
+        else:
+            dst_by_src = dst_inv
+        ext = (indptr, dst_by_src)
+        _SEM_CSR_EXT[key] = ext
+    return ext
+
+
+def _sem_delta_factory(damping: float, token: int, layout_dir: str,
+                       edge_parts: frozenset[int],
+                       disk_key: str | None = None):
+    """Grouped-map kernel over the ACTIVE vertex pushes only — the sem
+    split (edge blocks on storage, state across Arrow) composed with the
+    V4 frontier: per superstep this partition ships O(active_p) rows and
+    gathers O(active edges) via CSR slicing, falling back to the dense
+    gather+bincount when the frontier still covers most of the block
+    (index arithmetic on >½ of E costs more than one linear pass)."""
+
+    _empty = pd.DataFrame(
+        {"dst_id": pd.Series(dtype="int64"), "contrib": pd.Series(dtype="float64")}
+    )
+
+    def sem_delta(key: Any, state_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(state_pdf) == 0:
+            return _empty
+        part = int(key[0])
+        src_uniq, src_inv, dst_uniq, dst_inv = _sem_block(
+            token, part, layout_dir, part in edge_parts, disk_key
+        )
+        if len(src_uniq) == 0:
+            return _empty
+        ids = state_pdf["id"].to_numpy(dtype=np.int64)
+        vals = state_pdf["contrib"].to_numpy(dtype=np.float64)
+        order = np.argsort(ids, kind="stable")
+        ids, vals = ids[order], vals[order]
+        # positions of the active ids in this block's src dictionary
+        pos = np.searchsorted(src_uniq, ids)
+        pos = np.clip(pos, 0, len(src_uniq) - 1)
+        hit = src_uniq[pos] == ids
+        j, push = pos[hit], vals[hit]
+        if len(j) == 0:
+            return _empty
+        indptr, dst_by_src = _sem_csr_ext(
+            token, part, src_inv, dst_inv, len(src_uniq)
+        )
+        lengths = indptr[j + 1] - indptr[j]
+        tot = int(lengths.sum())
+        if tot == 0:
+            return _empty
+        if tot * 2 >= len(dst_by_src):
+            # dense fallback: frontier touches most edges anyway
+            by_src = np.zeros(len(src_uniq), dtype=np.float64)
+            by_src[j] = push
+            contrib = by_src[src_inv]
+            sums = np.bincount(dst_inv, weights=contrib, minlength=len(dst_uniq))
+        else:
+            cum = np.cumsum(lengths)
+            offs = np.repeat(indptr[j] - (cum - lengths), lengths)
+            idx = np.arange(tot, dtype=np.int64) + offs
+            w = np.repeat(push, lengths)
+            sums = np.bincount(
+                dst_by_src[idx], weights=w, minlength=len(dst_uniq)
+            )
+        nz = np.nonzero(sums)[0]
+        if len(nz) == 0:
+            return _empty
+        return pd.DataFrame(
+            {"dst_id": dst_uniq[nz].astype(np.int64, copy=False), "contrib": sums[nz]}
+        )
+
+    return sem_delta
+
+
 # --------------------------------------------------- kernel V4: delta/frontier
 
 def pagerank_delta(
@@ -862,11 +979,26 @@ def pagerank_delta(
     partitions: int | None = None,
     engine: SuperstepEngine | None = None,
     resume: bool = False,
+    kernel: str = "sql",
+    hub_threshold: int = HUB_OUTDEG_THRESHOLD,
+    layout_dir: str | None = None,
+    reuse_layout: bool = False,
 ) -> RunResult:
     """Delta/frontier PageRank: only vertices whose rank CHANGED last
     superstep send messages (FlashGraph's activation model — its PageRank
     vertex program activates out-neighbors only on a significant delta,
     the same frontier machinery as SURVEY.md A6).
+
+    kernel: "sql" (frontier join + agg, Catalyst-planned) or "sem" — the
+    semi-external split composed with the frontier: adjacency blocks stay
+    on storage (same image format, manifest and host-local compiled-block
+    store as ``pagerank(kernel="sem")``; ``layout_dir``/``reuse_layout``
+    behave identically), and per superstep only the ACTIVE pushes cross
+    Arrow; each block gathers O(active edges) by CSR-slicing the active
+    adjacency ranges (dense-scan fallback while the frontier covers most
+    of the block). This is the full FlashGraph architecture — SEM edge
+    image + delta activation — so tail supersteps cost O(frontier), not
+    O(V_p + E_p).
 
     Algebra: with Δ_0(v) = r_0(v) = 1-d, the power-iteration recurrence
     r_k(v) = (1-d) + d·Σ r_{k-1}(u)/deg(u) is equivalent to pushing only
@@ -902,15 +1034,7 @@ def pagerank_delta(
     base = _initial_state(edges, vertices, damping)
     state0 = base.select("id", "rank", "out_deg", F.col("rank").alias("delta"))
 
-    def step(state: DataFrame, iteration: int) -> DataFrame:
-        frontier = state.filter(
-            (F.abs(F.col("delta")) > threshold) & (F.col("out_deg") > 0)
-        ).select(
-            F.col("id").alias("src_id"),
-            (F.col("delta") / F.col("out_deg")).alias("push"),
-        )
-        gathered = edges.join(frontier, "src_id").select("dst_id", "push")
-        msgs = gathered.groupBy("dst_id").agg(F.sum("push").alias("sum_push"))
+    def _apply_delta(state: DataFrame, msgs: DataFrame) -> DataFrame:
         joined = state.join(msgs, state["id"] == msgs["dst_id"], "left")
         new_delta = F.lit(damping) * F.coalesce(F.col("sum_push"), F.lit(0.0))
         return joined.select(
@@ -920,15 +1044,74 @@ def pagerank_delta(
             new_delta.alias("delta"),
         )
 
-    stop = ObservedStop(
-        metrics=lambda: {
-            "active": F.sum((F.abs(F.col("delta")) > threshold).cast("long"))
-        },
-        decide=lambda m, it: int(m["active"] or 0) == 0,
-    )
+    tmp_layout = None
     try:
+        if kernel == "sql":
+
+            def step(state: DataFrame, iteration: int) -> DataFrame:
+                frontier = state.filter(
+                    (F.abs(F.col("delta")) > threshold) & (F.col("out_deg") > 0)
+                ).select(
+                    F.col("id").alias("src_id"),
+                    (F.col("delta") / F.col("out_deg")).alias("push"),
+                )
+                gathered = edges.join(frontier, "src_id").select("dst_id", "push")
+                msgs = gathered.groupBy("dst_id").agg(F.sum("push").alias("sum_push"))
+                return _apply_delta(state, msgs)
+
+        elif kernel == "sem":
+            if layout_dir is None:
+                import tempfile
+
+                tmp_layout = tempfile.mkdtemp(prefix="linkgraph_sem_")
+                layout_dir = tmp_layout
+            elif not spark.sparkContext.master.startswith("local"):
+                import warnings
+
+                warnings.warn(
+                    "kernel='sem' on a non-local master: layout_dir must be "
+                    "on shared storage reachable from every executor "
+                    f"(got {layout_dir!r})",
+                    stacklevel=2,
+                )
+            hubs, n_hubs, edge_parts, parts_df, token, disk_key = _sem_layout(
+                spark, edges, partitions, hub_threshold, layout_dir,
+                reuse_layout=reuse_layout, manifest=tmp_layout is None,
+            )
+            sem_kernel = _sem_delta_factory(
+                damping, token, layout_dir, edge_parts, disk_key
+            )
+
+            def step(state: DataFrame, iteration: int) -> DataFrame:
+                frontier = state.filter(
+                    (F.abs(F.col("delta")) > threshold) & (F.col("out_deg") > 0)
+                ).select(
+                    "id", (F.col("delta") / F.col("out_deg")).alias("contrib")
+                )
+                routed = _route_state(frontier, hubs, n_hubs, parts_df, partitions)
+                partials = routed.groupBy("part").applyInPandas(
+                    sem_kernel, schema="dst_id long, contrib double"
+                )
+                msgs = partials.groupBy("dst_id").agg(
+                    F.sum("contrib").alias("sum_push")
+                )
+                return _apply_delta(state, msgs)
+
+        else:
+            raise ValueError(f"unknown kernel {kernel!r}")
+
+        stop = ObservedStop(
+            metrics=lambda: {
+                "active": F.sum((F.abs(F.col("delta")) > threshold).cast("long"))
+            },
+            decide=lambda m, it: int(m["active"] or 0) == 0,
+        )
         return engine.run(
             state0, step, max_iters=max_iters, should_stop=stop, resume=resume
         )
     finally:
         edges.unpersist()
+        if tmp_layout is not None:
+            import shutil
+
+            shutil.rmtree(tmp_layout, ignore_errors=True)
