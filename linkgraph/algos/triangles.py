@@ -153,3 +153,73 @@ def cycle_triangle_counts(
     return ids.join(counts, "id", "left").select(
         "id", F.coalesce("ctri", F.lit(0)).cast("long").alias("ctri")
     )
+
+
+def triangle_counts_delta(
+    spark: SparkSession,
+    old_und: DataFrame,
+    delta_und: DataFrame,
+) -> DataFrame:
+    """Per-vertex count of triangles CREATED by adding ``delta_und`` to
+    ``old_und`` (both canonical undirected edge sets: (a, b) with a < b,
+    distinct, no self-loops; disjoint — grow-only). Returns
+    DataFrame(id, tri) holding only vertices that gained triangles.
+
+    Every new triangle contains ≥1 delta edge; with triangle vertices
+    labeled x < y < z it is enumerated EXACTLY ONCE, at the first edge
+    position — (x,y), then (x,z), then (y,z) — occupied by a delta edge
+    (positions are disjoint because old ∩ delta = ∅):
+
+      case 1: (x,y) ∈ D;                 z from U(x,·), closed by U(y,z)
+      case 2: (x,y) ∈ O, (x,z) ∈ D;      y from O(x,·), closed by U(y,z)
+      case 3: (x,y) ∈ O, (x,z) ∈ O, (y,z) ∈ D
+
+    with O = old, D = delta, U = O ∪ D. Each case's wedge join is DRIVEN
+    BY D, so the per-poll cost is O(Σ_{(a,b)∈D} deg(a)+deg(b)) — the
+    steady-state crawl's delta work — never a full-graph wedge join.
+    UNSOUND after removals (a vanished triangle is never subtracted);
+    callers gate exactly like warm-start WCC (see
+    incremental.link_store_triangles_poll)."""
+    O = old_und
+    D = delta_und
+    U = O.unionByName(D)
+
+    # case 1: the (min,mid) edge is new
+    w1 = (
+        D.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .join(U.select(F.col("a").alias("x"), F.col("b").alias("z")), "x")
+        .filter(F.col("z") > F.col("y"))
+    )
+    t1 = w1.join(
+        U.select(F.col("a").alias("y"), F.col("b").alias("z")), ["y", "z"], "left_semi"
+    )
+
+    # case 2: (min,mid) is old, the (min,max) edge is new
+    w2 = (
+        D.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        .join(O.select(F.col("a").alias("x"), F.col("b").alias("y")), "x")
+        .filter(F.col("y") < F.col("z"))
+    )
+    t2 = w2.join(
+        U.select(F.col("a").alias("y"), F.col("b").alias("z")), ["y", "z"], "left_semi"
+    )
+
+    # case 3: only the (mid,max) edge is new
+    w3 = (
+        D.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        .join(O.select(F.col("b").alias("y"), F.col("a").alias("x")), "y")
+    )
+    t3 = w3.join(
+        O.select(F.col("a").alias("x"), F.col("b").alias("z")), ["x", "z"], "left_semi"
+    )
+
+    cols = ("x", "y", "z")
+    tris = (
+        t1.select(*cols).unionByName(t2.select(*cols)).unionByName(t3.select(*cols))
+    )
+    tri_vertices = (
+        tris.select(F.col("x").alias("id"))
+        .unionByName(tris.select(F.col("y").alias("id")))
+        .unionByName(tris.select(F.col("z").alias("id")))
+    )
+    return tri_vertices.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("tri"))

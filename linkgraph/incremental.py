@@ -397,3 +397,107 @@ def link_store_components_poll(
         "seconds": round(time.monotonic() - t0, 3),
         **extra,
     }
+
+
+def link_store_triangles_poll(
+    spark: SparkSession,
+    pages_path: str,
+    state_dir: str,
+    partitions: int = 32,
+    buckets: int = 64,
+) -> dict:
+    """One poll of the steady-state TRIANGLE-COUNT loop: maintain
+    per-vertex triangle counts across a continuous crawl.
+
+    Grow-only polls (``replaced_srcs == 0`` — same store-supplied gate as
+    the components loop) take the DELTA path: the poll's new canonical
+    undirected edges are the previous-poll set anti-joined away, and
+    ``triangle_counts_delta`` enumerates only triangles containing a new
+    edge — wedge joins driven by the (small) delta, O(Σ_delta deg) work
+    instead of the full-graph wedge join. A re-crawl/tombstone poll
+    recounts cold (a removed edge can destroy triangles; no subtraction
+    path). Committed counts always equal a from-scratch
+    ``triangle_counts`` over the store's current pairs (tested).
+
+    State under ``state_dir``: links/ (LinkStore), dict/ (stable url→id,
+    SHARED with the rank/components polls), und/ (previous canonical
+    undirected edge set — the delta baseline), tri/ (latest (id, tri))."""
+    from linkgraph.algos import triangle_counts
+    from linkgraph.algos.triangles import _canonical_undirected, triangle_counts_delta
+    from linkgraph.build import vertex_ids_from_edges
+    from linkgraph.io import committed_overwrite, read_committed_or_none
+    from linkgraph.linkstore import LinkStore
+
+    t0 = time.monotonic()
+    store = LinkStore(spark, f"{state_dir}/links", buckets=buckets)
+    store.ingest(pages_path)
+    mstats = store.merge(track_replaced=True)
+    candidates = store.changed_urls(mstats["touched_buckets"])
+
+    dict_path = f"{state_dir}/dict"
+    existing = read_committed_or_none(spark, dict_path, "id long, url string")
+    if existing is None:
+        existing = spark.createDataFrame([], "id long, url string")
+    dictionary = extend_vertex_ids(
+        existing, candidates, partitions=partitions
+    ).localCheckpoint(eager=True)
+    n_urls = dictionary.count()
+    extra = {
+        "new_rows": mstats["new_rows"],
+        "touched_buckets": len(mstats["touched_buckets"]),
+        "replaced_srcs": mstats["replaced_srcs"],
+    }
+    if n_urls == 0:
+        return {
+            "urls": 0, "edges": 0, "incremental": False,
+            "seconds": round(time.monotonic() - t0, 3), **extra,
+        }
+    committed_overwrite(spark, dictionary, dict_path)
+
+    edges = pairs_to_edges(store.current_pairs(), dictionary).persist()
+    try:
+        n_edges = edges.count()
+        und_path = f"{state_dir}/und"
+        tri_path = f"{state_dir}/tri"
+        cur_und = _canonical_undirected(edges)
+        prev_und = read_committed_or_none(spark, und_path, "a long, b long")
+        prev_tri = read_committed_or_none(spark, tri_path, "id long, tri long")
+        incremental = (
+            prev_und is not None
+            and prev_tri is not None
+            and mstats["replaced_srcs"] == 0
+        )
+        if incremental:
+            delta = cur_und.join(prev_und, ["a", "b"], "left_anti")
+            gained = triangle_counts_delta(spark, prev_und, delta).withColumnRenamed(
+                "tri", "tri_new"
+            )
+            ids = vertex_ids_from_edges(edges)
+            tri = (
+                ids.join(prev_tri, "id", "left")
+                .join(gained, "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.coalesce("tri", F.lit(0)) + F.coalesce("tri_new", F.lit(0))
+                    ).cast("long").alias("tri"),
+                )
+            )
+        else:
+            tri = triangle_counts(spark, edges)
+        # both outputs are lazy plans over the parquet they are about to
+        # replace (prev und/tri) — break before the staged swaps
+        tri = tri.localCheckpoint(eager=True)
+        cur_und = cur_und.localCheckpoint(eager=True)
+        committed_overwrite(spark, tri, tri_path)
+        committed_overwrite(spark, cur_und, und_path)
+    finally:
+        edges.unpersist()
+
+    return {
+        "urls": n_urls,
+        "edges": n_edges,
+        "incremental": incremental,
+        "seconds": round(time.monotonic() - t0, 3),
+        **extra,
+    }

@@ -655,6 +655,39 @@ def test_pagerank_delta_theta0_equals_power_iteration(
     assert np.allclose(a, b, rtol=0, atol=1e-12)
 
 
+def test_pagerank_delta_sem_equals_sql_delta(
+    spark, wiki_edges_df, wiki_vertices_df, tmp_path
+):
+    """V4 on the semi-external kernel (active pushes across Arrow, CSR
+    slicing of active adjacency ranges, incl. the forced vertex-cut path)
+    ≡ V4 sql ≡ V1 within 1e-12 at θ=0, and golden-band at θ=1e-9 with a
+    self-terminating frontier."""
+    from linkgraph.algos import pagerank_delta
+
+    sql_r = pagerank(
+        spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=15, eps=0.0
+    )
+    sem_r = pagerank_delta(
+        spark, wiki_edges_df, vertices=wiki_vertices_df, max_iters=15,
+        threshold=0.0, kernel="sem", partitions=8, hub_threshold=50,
+        layout_dir=str(tmp_path / "sem_layout"),
+    )
+    a = _vec(sql_r.state.select("id", "rank"), "rank")
+    b = _vec(sem_r.state.select("id", "rank"), "rank")
+    assert np.allclose(a, b, rtol=0, atol=1e-12)
+
+    conv = pagerank_delta(
+        spark, wiki_edges_df, vertices=wiki_vertices_df, threshold=1e-9,
+        max_iters=300, kernel="sem", partitions=8, hub_threshold=50,
+    )
+    got = _vec(conv.state.select("id", "rank"), "rank")
+    want = golden("pagerank").sort_values("id")["rank"].to_numpy()
+    assert np.allclose(got, want, rtol=0, atol=1e-6)
+    assert conv.iterations < 300
+    actives = [int(m["active"]) for m in conv.metrics if "active" in m]
+    assert actives[-1] == 0 and actives[-2] < actives[0]
+
+
 def test_pagerank_delta_frontier_shrinks_and_hits_golden(
     spark, wiki_edges_df, wiki_vertices_df
 ):
@@ -718,3 +751,34 @@ def test_wcc_salted_equals_plain(spark, wiki_edges_df, wiki_vertices_df):
     a = _vec(plain.state.select("id", "comp"), "comp")
     b = _vec(salted.state.select("id", "comp"), "comp")
     assert (a == b).all()
+
+
+def test_triangle_counts_delta_matches_batch_difference(spark, wiki_edges_df):
+    """Incremental triangle kernel: per-vertex NEW-triangle counts from
+    adding a 10% edge slice == batch(full) − batch(subgraph), per vertex
+    (the exactly-once case enumeration over D-driven wedge joins)."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.algos.triangles import (
+        _canonical_undirected,
+        triangle_counts_delta,
+    )
+
+    old_edges = wiki_edges_df.filter(
+        F.pmod(F.xxhash64("src_id", "dst_id"), F.lit(10)) != 0
+    )
+    old_und = _canonical_undirected(old_edges)
+    full_und = _canonical_undirected(wiki_edges_df)
+    delta = full_und.join(old_und, ["a", "b"], "left_anti")
+    assert delta.count() > 0  # the slice actually removed undirected edges
+
+    got = {
+        r["id"]: r["tri"]
+        for r in triangle_counts_delta(spark, old_und, delta).collect()
+    }
+    full = {r["id"]: r["tri"] for r in triangle_counts(spark, wiki_edges_df).collect()}
+    old = {r["id"]: r["tri"] for r in triangle_counts(spark, old_edges).collect()}
+    want = {
+        v: full[v] - old.get(v, 0) for v in full if full[v] - old.get(v, 0) > 0
+    }
+    assert got == want and len(want) > 0

@@ -331,3 +331,80 @@ def test_link_store_components_poll_matches_batch_wcc(spark, tmp_path):
     dict3 = {r["url"]: r["id"] for r in spark.read.parquet(f"{state}/dict").collect()}
     for u, i in dict1.items():
         assert dict3[u] == i, f"{u} renumbered across polls"
+
+
+def test_link_store_triangles_poll_matches_batch(spark, tmp_path):
+    """Three polls of the triangle loop: cold bootstrap, a grow-only poll
+    that takes the DELTA path (new pages closing triangles with existing
+    ones), and a re-crawl poll that must recount cold. After every poll
+    the committed per-vertex counts equal a from-scratch triangle_counts
+    over the store's current pairs, compared by url."""
+    import datetime as dt
+
+    from linkgraph.algos import triangle_counts
+    from linkgraph.build import pairs_to_edges
+    from linkgraph.incremental import link_store_triangles_poll
+    from linkgraph.linkstore import LinkStore
+    from linkgraph.synth import gen_pages, page_url
+
+    stage = str(tmp_path / "pages")
+    state = str(tmp_path / "state")
+    buckets = 8
+
+    def poll():
+        return link_store_triangles_poll(
+            spark, stage, state, partitions=8, buckets=buckets
+        )
+
+    def assert_matches_batch():
+        store = LinkStore(spark, f"{state}/links", buckets=None)
+        dictionary = spark.read.parquet(f"{state}/dict")
+        edges = pairs_to_edges(store.current_pairs(), dictionary)
+        want = {
+            r["url"]: r["tri"]
+            for r in triangle_counts(spark, edges).join(dictionary, "id").collect()
+        }
+        got = {
+            r["url"]: r["tri"]
+            for r in spark.read.parquet(f"{state}/tri").join(dictionary, "id").collect()
+        }
+        assert got == want and len(got) > 0
+
+    pages1 = gen_pages(spark, 60)
+    pages1.coalesce(1).write.mode("overwrite").parquet(stage)
+    m1 = poll()
+    assert not m1["incremental"] and m1["edges"] > 0
+    assert_matches_batch()
+
+    # poll 2: grow-only — new pages each linking TWO existing pages that
+    # are themselves linked (closing new triangles through old edges)
+    store = LinkStore(spark, f"{state}/links", buckets=None)
+    pair = store.current_pairs().orderBy("src_url", "dst_url").limit(3).collect()
+    new_rows = [
+        (
+            page_url(2000 + i),
+            dt.datetime(2024, 6, 2, 12, 0, i),
+            (
+                "<html><body>"
+                + f'<a href="{r["src_url"]}">a</a><a href="{r["dst_url"]}">b</a>'
+                + "</body></html>"
+            ).encode(),
+            "",
+            "en",
+        )
+        for i, r in enumerate(pair)
+    ]
+    spark.createDataFrame(
+        new_rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).coalesce(1).write.mode("append").parquet(stage)
+    m2 = poll()
+    assert m2["replaced_srcs"] == 0 and m2["incremental"]
+    assert_matches_batch()
+
+    # poll 3: a re-crawl replaces winner rows — must recount cold
+    targets = [r["url"] for r in pages1.select("url").orderBy("url").limit(2).collect()]
+    recrawl = _recrawl_rows(spark, pages1, targets[:1], add_link_to=targets[-1])
+    recrawl.coalesce(1).write.mode("append").parquet(stage)
+    m3 = poll()
+    assert m3["replaced_srcs"] > 0 and not m3["incremental"]
+    assert_matches_batch()
