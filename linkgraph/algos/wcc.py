@@ -37,6 +37,7 @@ def wcc(
     salted: bool = False,
     hub_threshold: int | None = None,
     init_comps: DataFrame | None = None,
+    init_frontier: DataFrame | None = None,
 ) -> RunResult:
     """Run WCC to fixpoint; result state = (id, comp, changed).
 
@@ -60,9 +61,22 @@ def wcc(
     poll (``incremental.link_store_components_poll``) gates on the
     store's replaced-src count. Vertices absent from the seeds start at
     their own id; duplicate seed rows take the min, which is still a
-    valid label. Initial frontier = ALL vertices (every label must be
-    offered to neighbors once — a warm label is only correct to keep if
-    the neighborhood has seen it).
+    valid label. Initial frontier = ALL vertices by default (every label
+    must be offered to neighbors once — a warm label is only correct to
+    keep if the neighborhood has seen it).
+
+    ``init_frontier``: optional (id) set restricting the FIRST
+    superstep's senders. Sound ONLY when ``init_comps`` is the CONVERGED
+    labeling of a subgraph of ``edges`` AND the frontier covers every
+    endpoint of the added edges plus every new vertex: converged old
+    labels are uniform within each old component, so no old-edge
+    neighborhood holds unseen information — only the new bridges do, and
+    label changes they trigger re-activate normally from there. With a
+    non-fixpoint seed or an under-covering frontier, labels come out
+    WRONG (a minimum that was never offered). The incremental poll
+    passes the touched-bucket url set, a cheap superset of both
+    requirements; the first gather then costs O(frontier edges), not
+    O(E).
     """
     from linkgraph.conventions import HUB_OUTDEG_THRESHOLD
     from linkgraph.skew import salted_agg
@@ -86,6 +100,15 @@ def wcc(
             F.least(F.col("id"), F.coalesce("__seed", F.col("id"))).alias("comp"),
             F.lit(True).alias("changed"),
         )
+        if init_frontier is not None:
+            front = init_frontier.select("id").distinct().withColumn(
+                "__f", F.lit(True)
+            )
+            state0 = state0.join(front, "id", "left").select(
+                "id", "comp", F.coalesce("__f", F.lit(False)).alias("changed")
+            )
+    elif init_frontier is not None:
+        raise ValueError("init_frontier requires init_comps (a converged seed)")
     hot = None
     if salted:
         hot = (

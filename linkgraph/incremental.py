@@ -374,12 +374,24 @@ def link_store_components_poll(
         comps_path = f"{state_dir}/comps"
         prev = read_committed_or_none(spark, comps_path, "id long, comp long")
         warm = prev is not None and mstats["replaced_srcs"] == 0
+        # frontier restriction (warm only): the previous labels are the
+        # converged fixpoint of the old subgraph, so only the touched
+        # buckets' urls (⊇ new-edge endpoints ∪ new vertices) need to send
+        # in the first superstep — see wcc(init_frontier=) for the
+        # soundness argument
+        frontier = (
+            candidates.join(dictionary, candidates["url"] == dictionary["url"])
+            .select("id")
+            if warm
+            else None
+        )
         res = wcc(
             spark,
             edges,
             max_iters=max_iters,
             partitions=partitions,
             init_comps=prev if warm else None,
+            init_frontier=frontier,
         )
         state = res.state.select("id", "comp")
         if res.iterations == 0:

@@ -740,6 +740,24 @@ def test_wcc_warm_start_exact_on_grown_graph(spark, wiki_edges_df, wiki_vertices
     assert dup.state.count() == warm.state.count()
     assert np.array_equal(_vec(dup.state.select("id", "comp"), "comp"), b)
 
+    # frontier-restricted warm start: only the ADDED edges' endpoints send
+    # in superstep 1 (sound because the seed is the old-graph fixpoint);
+    # labels must still be exactly the cold labels
+    added = wiki_edges_df.join(sub, ["src_id", "dst_id"], "left_anti")
+    frontier = (
+        added.select(F.col("src_id").alias("id"))
+        .unionByName(added.select(F.col("dst_id").alias("id")))
+    )
+    fast = wcc(
+        spark, wiki_edges_df, vertices=wiki_vertices_df,
+        init_comps=seeds, init_frontier=frontier,
+    )
+    assert np.array_equal(_vec(fast.state.select("id", "comp"), "comp"), b)
+
+    # a frontier without a converged seed is meaningless -- refused
+    with pytest.raises(ValueError, match="init_frontier"):
+        wcc(spark, wiki_edges_df, init_frontier=frontier)
+
 
 def test_wcc_salted_equals_plain(spark, wiki_edges_df, wiki_vertices_df):
     """Hybrid salted MIN combine ≡ plain WCC (exact) — hub_threshold forced
