@@ -76,8 +76,8 @@ def purge_local_dirs() -> None:
 
 def run_pagerank(n_exec: int, args, kernel: str) -> dict:
     """One measured worker run. ``kernel``: sql/sem -> the PageRank worker;
-    wcc/wcc_star/lp/tc -> jobs/bench_program.py (the other north-rule
-    programs). tc runs on a smaller graph (--tc-edges): triangle counting
+    wcc/wcc_star/lp/tc/delta -> jobs/bench_program.py (the other
+    north-rule programs + the V4 delta-PageRank convergence run). tc runs on a smaller graph (--tc-edges): triangle counting
     on the power-law bench graph is superlinear in edges (wedge join) and
     ~100s/run at 8 cores already at 5M edges — the scaling ratio only
     needs the same input at both levels, not the same input across
@@ -192,7 +192,8 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=20)
     # all six north-program jobs are accepted; the default keeps the
     # original PageRank pair (r3/r4 evidence), pass
-    # --kernels wcc,wcc_star,lp,tc for the round-5 extension
+    # --kernels wcc,wcc_star,lp,tc for the round-5 extension, or delta
+    # for the V4 convergence run
     ap.add_argument("--kernels", default="sql,sem")
     ap.add_argument("--lp-iters", type=int, default=8)
     ap.add_argument("--runs", type=int, default=3,

@@ -1,6 +1,8 @@
 """Single-configuration benchmark worker for the non-PageRank north
 programs: WCC (frontier), WCC (large/small-star), label propagation,
-triangle counting.
+triangle counting — plus the V4 delta/frontier PageRank convergence run
+(``--program delta``: to-fixpoint at θ=1e-6, whole-run unit like wcc —
+the frontier collapses, so per-superstep estimators are meaningless).
 
 Same contract as jobs/bench_pagerank.py — run under a fixed parallelism,
 print ONE JSON line with per-iteration (or per-run, for the non-iterative
@@ -28,7 +30,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--program", choices=["wcc", "wcc_star", "lp", "tc"],
+    ap.add_argument("--program", choices=["wcc", "wcc_star", "lp", "tc", "delta"],
                     required=True)
     ap.add_argument("--vertices", type=int, default=1_000_000)
     ap.add_argument("--edges", type=int, default=50_000_000)
@@ -43,7 +45,13 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=64)
     args = ap.parse_args()
 
-    from linkgraph.algos import label_propagation, triangle_counts, wcc, wcc_star
+    from linkgraph.algos import (
+        label_propagation,
+        pagerank_delta,
+        triangle_counts,
+        wcc,
+        wcc_star,
+    )
     from linkgraph.benchgen import gen_bench_edges
     from linkgraph.session import get_spark
 
@@ -77,6 +85,11 @@ def main() -> None:
             r0 = time.monotonic()
             if args.program == "wcc":
                 n_rounds = wcc(spark, edges, partitions=args.partitions).iterations
+            elif args.program == "delta":
+                n_rounds = pagerank_delta(
+                    spark, edges, threshold=1e-6, max_iters=500,
+                    partitions=args.partitions,
+                ).iterations
             elif args.program == "wcc_star":
                 n_rounds = wcc_star(spark, edges).iterations
             else:  # tc — one DataFrame job; collapse to a scalar action
