@@ -338,11 +338,16 @@ def link_store_components_poll(
     SHARED with the rank poll so both products key one id space), comps/
     (latest (id, comp))."""
     from linkgraph.algos import wcc
-    from linkgraph.io import committed_overwrite, read_committed_or_none
+    from linkgraph.io import (
+        committed_overwrite,
+        read_committed_or_none,
+        read_state_meta,
+    )
     from linkgraph.linkstore import LinkStore
 
     t0 = time.monotonic()
     store = LinkStore(spark, f"{state_dir}/links", buckets=buckets)
+    prev_merged = store.merged_through()  # watermark BEFORE this poll
     store.ingest(pages_path)
     mstats = store.merge(track_replaced=True)
     candidates = store.changed_urls(mstats["touched_buckets"])
@@ -373,7 +378,19 @@ def link_store_components_poll(
         n_edges = edges.count()
         comps_path = f"{state_dir}/comps"
         prev = read_committed_or_none(spark, comps_path, "id long, comp long")
-        warm = prev is not None and mstats["replaced_srcs"] == 0
+        # the warm/frontier path is sound only if ``prev`` reflects the
+        # store EXACTLY as it stood before this poll's merge: a poll that
+        # crashed between its merge and its comps commit leaves edges in
+        # the store that no stored labels (or future frontier) account
+        # for. The watermark stamped into the comps commit detects that
+        # window — mismatch ⇒ cold start (correct, never wrong).
+        meta = read_state_meta(spark, comps_path)
+        warm = (
+            prev is not None
+            and mstats["replaced_srcs"] == 0
+            and meta is not None
+            and meta.get("merged_through") == prev_merged
+        )
         # frontier restriction (warm only): the previous labels are the
         # converged fixpoint of the old subgraph, so only the touched
         # buckets' urls (⊇ new-edge endpoints ∪ new vertices) need to send
@@ -397,7 +414,10 @@ def link_store_components_poll(
         if res.iterations == 0:
             # same lazy-plan-over-replaced-files hazard as the rank loop
             state = state.localCheckpoint(eager=True)
-        committed_overwrite(spark, state, comps_path)
+        committed_overwrite(
+            spark, state, comps_path,
+            meta={"merged_through": mstats["merged_through"]},
+        )
     finally:
         edges.unpersist()
 
@@ -437,11 +457,16 @@ def link_store_triangles_poll(
     from linkgraph.algos import triangle_counts
     from linkgraph.algos.triangles import _canonical_undirected, triangle_counts_delta
     from linkgraph.build import vertex_ids_from_edges
-    from linkgraph.io import committed_overwrite, read_committed_or_none
+    from linkgraph.io import (
+        committed_overwrite,
+        read_committed_or_none,
+        read_state_meta,
+    )
     from linkgraph.linkstore import LinkStore
 
     t0 = time.monotonic()
     store = LinkStore(spark, f"{state_dir}/links", buckets=buckets)
+    prev_merged = store.merged_through()  # watermark BEFORE this poll
     store.ingest(pages_path)
     mstats = store.merge(track_replaced=True)
     candidates = store.changed_urls(mstats["touched_buckets"])
@@ -474,10 +499,22 @@ def link_store_triangles_poll(
         cur_und = _canonical_undirected(edges)
         prev_und = read_committed_or_none(spark, und_path, "a long, b long")
         prev_tri = read_committed_or_none(spark, tri_path, "id long, tri long")
+        # the delta path needs BOTH state dirs to reflect the store as it
+        # stood before this merge (und/ and tri/ commit separately — a
+        # crash between them, or between a merge and either commit, must
+        # degrade to a cold recount, never to double/under-counted
+        # triangles). Each commit is stamped with the store watermark it
+        # was derived from; any mismatch ⇒ cold.
+        und_meta = read_state_meta(spark, und_path)
+        tri_meta = read_state_meta(spark, tri_path)
         incremental = (
             prev_und is not None
             and prev_tri is not None
             and mstats["replaced_srcs"] == 0
+            and und_meta is not None
+            and tri_meta is not None
+            and und_meta.get("merged_through") == prev_merged
+            and tri_meta.get("merged_through") == prev_merged
         )
         if incremental:
             delta = cur_und.join(prev_und, ["a", "b"], "left_anti")
@@ -501,8 +538,9 @@ def link_store_triangles_poll(
         # replace (prev und/tri) — break before the staged swaps
         tri = tri.localCheckpoint(eager=True)
         cur_und = cur_und.localCheckpoint(eager=True)
-        committed_overwrite(spark, tri, tri_path)
-        committed_overwrite(spark, cur_und, und_path)
+        stamp = {"merged_through": mstats["merged_through"]}
+        committed_overwrite(spark, tri, tri_path, meta=stamp)
+        committed_overwrite(spark, cur_und, und_path, meta=stamp)
     finally:
         edges.unpersist()
 

@@ -17,6 +17,10 @@ from pyspark.sql import DataFrame, SparkSession
 # parquet readers, so the marker rides along through the renames.
 _COMMIT_MARKER = "_LG_COMMITTED"
 
+# Optional JSON sidecar committed atomically with a state dir's rows (see
+# committed_overwrite(meta=...)).
+_STATE_META = "_LG_STATE_META.json"
+
 
 def read_parquet_or_none(
     spark: SparkSession, path: str, schema: str | object
@@ -75,7 +79,9 @@ def _recover_swap(spark: SparkSession, path: str) -> None:
             )
 
 
-def committed_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
+def committed_overwrite(
+    spark: SparkSession, df: DataFrame, path: str, meta: dict | None = None
+) -> None:
     """Replace the state directory at ``path`` with ``df``'s rows without a
     window where a crash leaves a HALF-WRITTEN directory that a later read
     mistakes for complete state.
@@ -96,7 +102,15 @@ def committed_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
     mutation lives HERE — readers never rename, so a concurrent reader
     cannot steal an in-flight swap's staging dir out from under this
     writer. The caller must have broken any lazy dependency of ``df`` on
-    ``path`` itself (localCheckpoint) before calling."""
+    ``path`` itself (localCheckpoint) before calling.
+
+    ``meta``: optional JSON sidecar committed ATOMICALLY with the rows
+    (written into staging before the marker, so it rides the same
+    renames; "_"-prefixed → invisible to parquet readers). Used by the
+    incremental polls to stamp state with the LinkStore watermark it was
+    derived from — the gate that keeps a crash between the store merge
+    and a state commit from silently invalidating a later warm/delta
+    path (``read_state_meta``)."""
     from linkgraph.engine import fs_delete, fs_exists, fs_rename, fs_write_text
 
     base = path.rstrip("/")
@@ -106,6 +120,10 @@ def committed_overwrite(spark: SparkSession, df: DataFrame, path: str) -> None:
     _recover_swap(spark, path)
     fs_delete(spark, staging)  # partial residue only, after recovery
     df.write.mode("overwrite").parquet(staging)
+    if meta is not None:
+        import json
+
+        fs_write_text(spark, f"{staging}/{_STATE_META}", json.dumps(meta))
     fs_write_text(spark, f"{staging}/{_COMMIT_MARKER}", "")
     fs_delete(spark, aside)  # residue from an earlier crash after its swap
     if fs_exists(spark, path) and not fs_rename(spark, path, aside):
@@ -139,3 +157,26 @@ def read_committed_or_none(
                 return read_parquet_or_none(spark, candidate, schema)
         return None
     return read_parquet_or_none(spark, path, schema)
+
+
+def read_state_meta(spark: SparkSession, path: str) -> dict | None:
+    """The JSON sidecar committed with a state dir by
+    ``committed_overwrite(meta=...)``; None if the dir (or its sidecar)
+    is absent. Same reader discipline as ``read_committed_or_none``:
+    never mutates, serves a committed staging/old dir in place."""
+    import json
+
+    from linkgraph.engine import fs_exists, fs_read_text
+
+    base = path.rstrip("/")
+    for candidate in (path, base + ".staging", base + ".old"):
+        if candidate == path:
+            if not fs_exists(spark, path):
+                continue
+        elif not _is_committed(spark, candidate):
+            continue
+        meta_path = f"{candidate}/{_STATE_META}"
+        if fs_exists(spark, meta_path):
+            return json.loads(fs_read_text(spark, meta_path))
+        return None
+    return None

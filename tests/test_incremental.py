@@ -408,3 +408,73 @@ def test_link_store_triangles_poll_matches_batch(spark, tmp_path):
     m3 = poll()
     assert m3["replaced_srcs"] > 0 and not m3["incremental"]
     assert_matches_batch()
+
+
+def test_poll_crash_between_merge_and_commit_forces_cold(spark, tmp_path):
+    """A poll that merges into the LinkStore but dies before committing
+    its product state leaves edges no stored labels/counts account for —
+    the next poll's replaced_srcs (and the components frontier) only
+    reflect the LATEST merge. The watermark stamped into each state
+    commit must detect the gap and force a cold start, and the cold
+    results must match batch."""
+    import datetime as dt
+
+    from linkgraph.incremental import (
+        link_store_components_poll,
+        link_store_triangles_poll,
+    )
+    from linkgraph.linkstore import LinkStore
+    from linkgraph.synth import gen_pages, page_url
+
+    def new_pages(base_idx, targets):
+        rows = [
+            (
+                page_url(base_idx + i),
+                dt.datetime(2024, 6, 3, 12, 0, i),
+                (
+                    "<html><body>"
+                    + f'<a href="{t}">t</a>'
+                    + "</body></html>"
+                ).encode(),
+                "",
+                "en",
+            )
+            for i, t in enumerate(targets)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+
+    pages1 = gen_pages(spark, 40)
+    targets = [r["url"] for r in pages1.select("url").orderBy("url").limit(4).collect()]
+
+    for poll_fn, state_name in (
+        (link_store_components_poll, "comps"),
+        (link_store_triangles_poll, "tri"),
+    ):
+        stage = str(tmp_path / f"pages_{state_name}")
+        state = str(tmp_path / f"state_{state_name}")
+        pages1.coalesce(1).write.mode("overwrite").parquet(stage)
+        m1 = poll_fn(spark, stage, state, partitions=8, buckets=8)
+        assert m1["edges"] > 0
+
+        # simulated crash: a poll merges new pages into the store but
+        # dies before committing comps/tri (we drive the store directly)
+        new_pages(3000, targets[:2]).coalesce(1).write.mode("append").parquet(stage)
+        store = LinkStore(spark, f"{state}/links", buckets=None)
+        store.ingest(stage)
+        assert store.merge()["new_rows"] > 0
+
+        # next poll: grow-only on ITS merge (fresh srcs), but the stored
+        # state watermark predates the crashed merge -> must go cold
+        new_pages(4000, targets[2:]).coalesce(1).write.mode("append").parquet(stage)
+        m2 = poll_fn(spark, stage, state, partitions=8, buckets=8)
+        assert m2["replaced_srcs"] == 0
+        flag = "warm_started" if state_name == "comps" else "incremental"
+        assert not m2[flag], f"{state_name}: crash window not detected"
+
+        # and a FOLLOWING clean grow-only poll warm-starts again
+        new_pages(5000, targets[:1]).coalesce(1).write.mode("append").parquet(stage)
+        m3 = poll_fn(spark, stage, state, partitions=8, buckets=8)
+        assert m3[flag], f"{state_name}: watermark did not recover"
