@@ -31,9 +31,12 @@ Hadoop-FS path — local, hdfs://, s3a://):
 
     pairlog/      append-only (src_url, warc_ts, crawl_fp, dst_url) log
     ingest_ckpt/  structured-streaming source checkpoint (new files only)
-    links/        LinkStore root (link_store_rank_poll variant)
-    dict/         stable url -> id dictionary
+    links/        LinkStore root (link_store_* variants)
+    dict/         stable url -> id dictionary (shared by page-level loops)
     ranks/        latest converged (id, rank)
+    comps/        latest WCC labels          (link_store_components_poll)
+    und/, tri/    canonical undirected edges + per-vertex triangle counts
+                  (link_store_triangles_poll)
     hostagg/      per-bucket host-edge partials (host_store_rank_poll)
     hostdict/     stable host -> id dictionary     (host_store_rank_poll)
     host_ranks/   latest converged host (id, rank) (host_store_rank_poll)
@@ -41,6 +44,19 @@ Hadoop-FS path — local, hdfs://, s3a://):
 ``host_store_rank_poll`` is the steady-state form of the A11 host
 roll-up: LinkStore merge + ``hostgraph.HostAgg`` touched-bucket partial
 refresh + warm-started weighted host rank — no per-poll page-corpus scan.
+
+Round 5 extends the steady-state family to every north program where the
+math is sound: ``link_store_components_poll`` (warm-start + frontier-
+restricted WCC, gated on grow-only evidence) and
+``link_store_triangles_poll`` (delta-driven triangle maintenance).
+Synchronous LP deliberately has no incremental form (not monotone — a
+warm seed is a different algorithm). Warm/delta gating is two-factor:
+``replaced_srcs == 0`` for THIS merge (no re-crawl/tombstone removals)
+AND the product state's committed ``merged_through`` stamp equals the
+store watermark observed before this poll's ingest (a poll that crashed
+between its merge and its state commit otherwise leaves edges no stored
+state or frontier accounts for). Rank polls need neither: any seed
+reaches the unique fixpoint.
 """
 
 from __future__ import annotations
