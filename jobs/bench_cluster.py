@@ -250,10 +250,10 @@ def render_md(args, results, shuffle_ctrl) -> str:
         f"## Multi-JVM evidence: local-cluster executors (1 -> 4) — {', '.join(results)}",
         "",
         "(unit per row: sec/superstep for sql/sem/lp — identical work each",
-        "superstep; sec/WHOLE-RUN for wcc/wcc_star/tc — their frontiers or",
-        "edge lists contract across rounds, so per-superstep numbers would",
-        "compare different work. Either way the two levels divide like for",
-        "like.)",
+        "superstep; sec/WHOLE-RUN for wcc/wcc_star/tc/delta — their",
+        "frontiers or edge lists contract across rounds, so per-superstep",
+        "numbers would compare different work. Either way the two levels",
+        "divide like for like.)",
         "",
         "Same job and input as the protocol above, but on REAL executor",
         f"JVMs: `local-cluster[1,{c},{args.exec_mem_mb}]` vs",
