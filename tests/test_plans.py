@@ -245,3 +245,51 @@ def test_symmetrized_gather_layout_single_shuffle(spark, wiki_edges_df):
     finally:
         fused.unpersist()
         naive.unpersist()
+
+
+def test_delta_frontier_gather_keeps_edge_layout(spark, wiki_edges_df):
+    """The V4 delta superstep's gather — persisted edge layout joined
+    against the (filtered, shrinking) frontier — must stream the edge
+    cache with no Exchange and no Sort between join and cached scan,
+    exactly like the rank kernel's gather: the frontier filter must not
+    cost the layout its reuse."""
+    from linkgraph.build import gather_layout
+
+    edges = gather_layout(wiki_edges_df, 8)
+    edges.count()
+    state = (
+        spark.range(200)
+        .repartition(8, "id")
+        .sortWithinPartitions("id")
+        .select(
+            "id", F.lit(0.15).alias("rank"), F.lit(2).alias("out_deg"),
+            (F.col("id") % 3 == 0).cast("double").alias("delta"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = state.filter(
+        (F.abs(F.col("delta")) > 0.0) & (F.col("out_deg") > 0)
+    ).select(
+        F.col("id").alias("src_id"), (F.col("delta") / F.col("out_deg")).alias("push")
+    )
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    smj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+    try:
+        msgs = edges.join(frontier, "src_id").groupBy("dst_id").agg(
+            F.sum("push").alias("sum_push")
+        )
+        plan = _plan(msgs)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", smj)
+    edges.unpersist()
+    assert "ShuffledHashJoin" not in plan, plan
+    lines = plan.splitlines()
+    join_idx = next(i for i, l in enumerate(lines) if "Join" in l)
+    scan_idx = next(i for i, l in enumerate(lines) if "InMemoryTableScan" in l)
+    assert join_idx < scan_idx, plan
+    between = "\n".join(lines[join_idx + 1 : scan_idx])
+    assert "Exchange" not in between, plan
+    assert "Sort" not in between, plan
