@@ -51,16 +51,32 @@ def main() -> None:
         "LinkStore merge + HostAgg touched-bucket partial refresh + "
         "warm-started weighted rank). Requires --link-store-buckets > 0.",
     )
+    ap.add_argument(
+        "--product",
+        choices=["rank", "components", "triangles"],
+        default="rank",
+        help="which steady-state product the poll maintains (components/"
+        "triangles are LinkStore-backed: warm/delta paths gated on the "
+        "store's grow-only evidence + committed watermark; require "
+        "--link-store-buckets > 0)",
+    )
     args = ap.parse_args()
     if args.host_rank and args.link_store_buckets <= 0:
         ap.error("--host-rank requires --link-store-buckets > 0 (it is "
                  "LinkStore-backed by construction)")
+    if args.product != "rank" and args.link_store_buckets <= 0:
+        ap.error("--product components/triangles requires "
+                 "--link-store-buckets > 0 (LinkStore-backed by construction)")
+    if args.host_rank and args.product != "rank":
+        ap.error("--host-rank and --product are mutually exclusive")
 
     from linkgraph.conventions import PR_EPS, PR_MAX_ITERS
     from linkgraph.incremental import (
         host_store_rank_poll,
         incremental_rank_poll,
+        link_store_components_poll,
         link_store_rank_poll,
+        link_store_triangles_poll,
     )
     from linkgraph.session import get_spark
 
@@ -79,6 +95,17 @@ def main() -> None:
             row = host_store_rank_poll(
                 spark, args.pages, args.state,
                 buckets=args.link_store_buckets, **kwargs,
+            )
+        elif args.product == "components":
+            row = link_store_components_poll(
+                spark, args.pages, args.state,
+                max_iters=kwargs["max_iters"], partitions=args.partitions,
+                buckets=args.link_store_buckets,
+            )
+        elif args.product == "triangles":
+            row = link_store_triangles_poll(
+                spark, args.pages, args.state,
+                partitions=args.partitions, buckets=args.link_store_buckets,
             )
         elif args.link_store_buckets > 0:
             row = link_store_rank_poll(

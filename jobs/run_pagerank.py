@@ -30,7 +30,11 @@ def main() -> None:
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--eps", type=float, default=None)
-    ap.add_argument("--kernel", choices=["sql", "csr", "sem"], default="sql")
+    ap.add_argument("--kernel", choices=["sql", "csr", "sem", "delta", "delta_sem"],
+                    default="sql",
+                    help="delta/delta_sem = V4 frontier kernel (push-the-"
+                    "change; --eps becomes the activation threshold theta; "
+                    "theta=0 reproduces power iteration exactly)")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--resume", action="store_true")
     # sem: a shared-storage el2fg image dir (built on first run, reused
@@ -55,19 +59,39 @@ def main() -> None:
     vertices = spark.read.parquet(args.vertices) if args.vertices else None
     engine = SuperstepEngine(spark, ckpt_dir=args.ckpt) if args.ckpt else None
 
-    res = pagerank(
-        spark,
-        edges,
-        vertices=vertices,
-        max_iters=args.iters or PR_MAX_ITERS,
-        eps=args.eps if args.eps is not None else PR_EPS,
-        kernel=args.kernel,
-        partitions=args.partitions,
-        engine=engine,
-        resume=args.resume,
-        layout_dir=args.layout_dir,
-        reuse_layout=args.layout_dir is not None,
-    )
+    if args.kernel in ("delta", "delta_sem"):
+        from linkgraph.algos import pagerank_delta
+
+        res = pagerank_delta(
+            spark,
+            edges,
+            vertices=vertices,
+            max_iters=args.iters or PR_MAX_ITERS,
+            threshold=args.eps if args.eps is not None else PR_EPS,
+            kernel="sem" if args.kernel == "delta_sem" else "sql",
+            partitions=args.partitions,
+            engine=engine,
+            resume=args.resume,
+            **(
+                {"layout_dir": args.layout_dir, "reuse_layout": True}
+                if args.kernel == "delta_sem" and args.layout_dir is not None
+                else {}
+            ),
+        )
+    else:
+        res = pagerank(
+            spark,
+            edges,
+            vertices=vertices,
+            max_iters=args.iters or PR_MAX_ITERS,
+            eps=args.eps if args.eps is not None else PR_EPS,
+            kernel=args.kernel,
+            partitions=args.partitions,
+            engine=engine,
+            resume=args.resume,
+            layout_dir=args.layout_dir,
+            reuse_layout=args.layout_dir is not None,
+        )
     res.state.select("id", "rank").write.mode("overwrite").parquet(args.out)
     print(f"pagerank: {res.iterations} supersteps -> {args.out}")
 
