@@ -133,6 +133,15 @@ def fs_rename(spark: SparkSession, src_str: str, dst_str: str) -> bool:
     return bool(fs.rename(src, dst))
 
 
+def fs_dir_bytes(spark: SparkSession, path_str: str) -> int:
+    """Total bytes under a path (Hadoop ContentSummary — one namenode RPC
+    per call, no data read); 0 if the path is missing."""
+    fs, p = _hadoop_fs(spark, path_str)
+    if not fs.exists(p):
+        return 0
+    return int(fs.getContentSummary(p).getLength())
+
+
 def make_changed_stop(metric_key: str = "changed", stop_on_zero: bool = True) -> ObservedStop:
     """The standard frontier stop/telemetry: sum the boolean ``changed``
     column of the new state, log it under ``metric_key``, and (unless

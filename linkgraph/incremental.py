@@ -57,6 +57,12 @@ store watermark observed before this poll's ingest (a poll that crashed
 between its merge and its state commit otherwise leaves edges no stored
 state or frontier accounts for). Rank polls need neither: any seed
 reaches the unique fixpoint.
+
+Store maintenance is NOT a poll concern: the ops loop calls
+``LinkStore.maybe_split(max_bucket_bytes)`` between polls (schedulable,
+one full-store rewrite at most) so merge cost stays bounded as the
+corpus grows; polls themselves never change the bucket count, keeping
+per-poll cost predictable.
 """
 
 from __future__ import annotations

@@ -37,14 +37,21 @@ bytes). Under uniform hashing a poll changing n srcs touches
 well under it.
 
 Bucket count is NOT fixed for the store's lifetime: B must be a power of
-two, and ``split()`` doubles it in place — lb = h mod B refines to
-h mod 2B, so each parent bucket maps onto exactly its two children k and
-k+B with no re-keying of untouched rows (consistent-hashing-style
-growth). That keeps bound (2) live at any corpus size: when bucket bytes
-outgrow the merge budget (the 10^12-document regime where a 64-bucket
-store would put ~15B rows in every touched bucket), split until the
-per-touched-bucket bytes fit again; the per-poll merge bound is then
-O(new rows + touched buckets · corpus/B) with B chosen to the corpus.
+two, and ``split(factor)`` multiplies it in place — lb = h mod B refines
+to h mod f·B, so each parent bucket maps onto exactly its f children
+k, k+B, …, k+(f−1)B with no re-keying of untouched rows
+(consistent-hashing-style growth). That keeps bound (2) live at any
+corpus size: when bucket bytes outgrow the merge budget (the
+10^12-document regime where a 64-bucket store would put ~15B rows in
+every touched bucket), ``maybe_split(max_bucket_bytes)`` — the
+between-polls merge-cost governor — measures per-bucket bytes
+(driver-side ContentSummary, no data read) and performs ONE rewrite by
+the smallest power-of-two factor that restores the budget; the per-poll
+merge bound is then O(new rows + touched buckets · budget). This also
+bounds the hot-bucket pathology (a frequently re-crawled mega-host
+hashing into one bucket forces every poll to rewrite that whole
+bucket): the governor keeps "that whole bucket" ≤ budget bytes, down to
+the irreducible floor of a single src's own winner rows.
 
 Crash safety rides on ALGEBRA, not filesystem atomicity: the winner rule
 is an idempotent, commutative, monotone max — re-merging an
@@ -309,19 +316,23 @@ class LinkStore:
         return out
 
     # --------------------------------------------------------------- split
-    def split(self) -> dict:
-        """Double the bucket count IN PLACE — the store's growth path.
+    def split(self, factor: int = 2) -> dict:
+        """Multiply the bucket count IN PLACE — the store's growth path.
 
         Why it exists: merge cost is O(new rows + touched-bucket BYTES),
         and bucket bytes grow with the corpus. A store created with
         buckets=64 at 10^12 documents puts ~15B rows in every touched
         bucket, decaying the bound toward O(corpus). Splitting restores
         the bound without re-keying the universe: lb = h mod B refines to
-        h mod 2B, so parent bucket k's rows land in exactly children k and
-        k+B — each rewrite task reads one parent and writes two children,
-        no shuffle of untouched keys, perfectly partition-parallel. Call
-        it whenever steady-state polls touch most buckets or bucket bytes
-        outgrow the merge budget; repeated calls keep doubling.
+        h mod f·B (``factor`` a power of two), so parent bucket k's rows
+        land in exactly children k, k+B, …, k+(f−1)B — each rewrite task
+        reads one parent and writes f children, no shuffle of untouched
+        keys, perfectly partition-parallel. Call it whenever steady-state
+        polls touch most buckets or bucket bytes outgrow the merge
+        budget. The rewrite is one full-store pass regardless of factor,
+        so a store that has outgrown its budget by 8× should split once
+        with factor=8, not three times (``maybe_split`` computes the
+        factor from measured bucket bytes and does exactly that).
 
         Crash safety (same refuse-don't-guess style as merge): the
         rewritten store is staged COMPLETELY, then a marker records
@@ -332,8 +343,11 @@ class LinkStore:
         after staging is complete, so forward is always safe — and the
         winner rows themselves never change, only their directory, so
         delta replay invariants are untouched."""
+        f = int(factor)
+        if f < 2 or f & (f - 1):
+            raise ValueError(f"split factor must be a power of two >= 2 (got {factor})")
         self._repair_asides()
-        b_from, b_to = self.buckets, self.buckets * 2
+        b_from, b_to = self.buckets, self.buckets * f
         fs_delete(self.spark, self.split_staging_dir)
         cur = self._read_latest()
         (
@@ -380,6 +394,64 @@ class LinkStore:
         self._write_meta(int(marker["merged_through"]))
         fs_delete(self.spark, self.presplit_dir)
         fs_delete(self.spark, self.split_marker_path)
+
+    def bucket_bytes(self) -> dict[int, int]:
+        """On-disk bytes per live bucket (driver-side metadata: one
+        listing + one ContentSummary RPC per bucket dir, bounded by B —
+        no data read, no Spark job)."""
+        from linkgraph.engine import fs_dir_bytes
+
+        out: dict[int, int] = {}
+        for name in fs_list_names(self.spark, self.latest_dir):
+            if name.startswith("lb="):
+                out[int(name.split("=", 1)[1])] = fs_dir_bytes(
+                    self.spark, f"{self.latest_dir}/{name}"
+                )
+        return out
+
+    def maybe_split(self, max_bucket_bytes: int) -> dict:
+        """Merge-cost governor: split (once, by the right factor) iff any
+        bucket's bytes exceed ``max_bucket_bytes``.
+
+        This is the between-polls maintenance call that keeps the merge
+        bound O(new rows + touched buckets · budget) as the corpus grows:
+        the ops loop picks the budget (what one merge may re-read/rewrite
+        per touched bucket) and the governor keeps every bucket under it.
+        The factor is the smallest power of two that brings the LARGEST
+        bucket under budget assuming uniform hash refinement within the
+        bucket — one full-store rewrite total, however far the store has
+        outgrown the budget. Deliberately NOT called inside ``merge``:
+        a poll's cost must stay predictable; growth is an explicit,
+        schedulable maintenance step (``incremental`` loop docstring).
+
+        Limit of the mechanism, stated honestly: splitting refines the
+        src_url hash, so it cannot shrink a bucket dominated by a SINGLE
+        src's winner rows (one row per outlink of that src). Per-src
+        bytes are bounded by max outdegree — megabytes, not the
+        gigabyte-scale budgets this governs — so the assumption holds on
+        web graphs; a bucket already at one src simply stops shrinking
+        and the governor reports it rather than splitting forever
+        (``capped_factor`` in the result, factor capped at 4096×/call)."""
+        budget = int(max_bucket_bytes)
+        if budget <= 0:
+            raise ValueError(f"max_bucket_bytes must be positive (got {max_bucket_bytes})")
+        sizes = self.bucket_bytes()
+        biggest = max(sizes.values(), default=0)
+        out = {
+            "split": False,
+            "buckets": self.buckets,
+            "max_bucket_bytes": biggest,
+            "budget_bytes": budget,
+        }
+        if biggest <= budget:
+            return out
+        factor = 2
+        while biggest > budget * factor and factor < 4096:
+            factor *= 2
+        out.update(self.split(factor), split=True, factor=factor)
+        if biggest > budget * factor:
+            out["capped_factor"] = True
+        return out
 
     def _prune_deltas(self, merged_through: int, keep: int) -> None:
         """Merged deltas are replay fuel, not live state — keep the last

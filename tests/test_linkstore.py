@@ -316,3 +316,64 @@ def test_linkstore_split_doubles_buckets_preserving_view(spark, tmp_path):
     assert sorted(
         map(tuple, recovered._read_latest().drop("lb").fillna("NULL", "dst_url").collect())
     ) == want
+
+
+def test_linkstore_factor_split_and_governor(spark, tmp_path):
+    """split(factor) generalizes the doubling: one rewrite sends parent k's
+    rows to exactly {k, k+B, k+2B, k+3B} at factor 4, view preserved; the
+    maybe_split governor is a no-op under budget, picks the smallest
+    power-of-two factor that restores the budget when over it, and
+    refuses nonsense arguments."""
+    import pytest
+
+    from linkgraph.linkstore import LinkStore
+    from linkgraph.synth import gen_pages
+
+    stage = str(tmp_path / "pages")
+    store = LinkStore(spark, str(tmp_path / "links"), buckets=BUCKETS)
+    _write_poll(spark, gen_pages(spark, 60), stage, "overwrite")
+    store.ingest(stage)
+    store.merge()
+
+    with pytest.raises(ValueError, match="power of two"):
+        store.split(factor=3)
+    with pytest.raises(ValueError, match="positive"):
+        store.maybe_split(0)
+
+    def rows():
+        return sorted(
+            map(tuple, store._read_latest().drop("lb").fillna("NULL", "dst_url").collect())
+        )
+
+    def bucket_of():
+        out = {}
+        for r in store._read_latest().select("src_url", "lb").distinct().collect():
+            out.setdefault(r["src_url"], set()).add(r["lb"])
+        return {u: ks.pop() for u, ks in out.items() if len(ks) == 1}
+
+    # under budget: governor is a pure no-op (no rewrite, same count)
+    sizes = store.bucket_bytes()
+    assert sizes and all(v > 0 for v in sizes.values())
+    res = store.maybe_split(max(sizes.values()) + 1)
+    assert res == {
+        "split": False,
+        "buckets": BUCKETS,
+        "max_bucket_bytes": max(sizes.values()),
+        "budget_bytes": max(sizes.values()) + 1,
+    }
+    assert store.buckets == BUCKETS
+
+    # over budget by >2x: the governor must pick factor 4 in ONE rewrite
+    before_rows, before_lb = rows(), bucket_of()
+    budget = max(sizes.values()) // 4 + 1  # 2*budget < max <= 4*budget
+    assert 2 * budget < max(sizes.values()) <= 4 * budget
+    res = store.maybe_split(budget)
+    assert res["split"] and res["factor"] == 4 and "capped_factor" not in res
+    assert store.buckets == 4 * BUCKETS and res["buckets"] == 4 * BUCKETS
+    assert rows() == before_rows, "factor split changed the winner rows"
+    for u, k in before_lb.items():
+        assert bucket_of()[u] % BUCKETS == k % BUCKETS, (u, k)
+
+    # reopen adopts the grown count; a later merge works at the new count
+    reopened = LinkStore(spark, str(tmp_path / "links"), buckets=None)
+    assert reopened.buckets == 4 * BUCKETS
