@@ -143,6 +143,31 @@ def main() -> None:
 
     timed_min("lp_3iter", lambda: label_propagation(spark, edges, iters=3))
 
+    # V4 delta/frontier kernel run TO CONVERGENCE (empty frontier @ θ=1e-4)
+    # — the production convergence path (BENCH/BASELINE.md "Delta/frontier
+    # PageRank (V4)"). Wall is min-of-2; the work-reduction stats are
+    # DETERMINISTIC (supersteps to convergence + per-superstep active
+    # counts from ObservedStop), so they are noise-free across rounds:
+    # power iteration to the same band pays iters x |V| vertex-rounds and
+    # iters x |E| edge gathers, the delta arm pays only the active residue.
+    from linkgraph.algos import pagerank_delta
+
+    res = timed_min(
+        "pagerank_delta_conv",
+        lambda: pagerank_delta(spark, edges, threshold=1e-4, max_iters=300),
+    )
+    active = [int(m.get("active") or 0) for m in res.metrics]
+    extras["pagerank_delta"] = {
+        "theta": 1e-4,
+        "supersteps_to_convergence": res.iterations,
+        "active_vertex_rounds": sum(active),
+        "power_equiv_vertex_rounds": res.iterations * BENCH_V,
+        "frontier_tail": active[-6:],
+        "sec_per_superstep_minrun": round(
+            queries["pagerank_delta_conv"] / max(res.iterations, 1), 3
+        ),
+    }
+
     tri_edges = gen_bench_edges(spark, 200_000, 1_000_000).persist()
     tri_edges.count()
     timed_min("triangle_counts", lambda: triangle_counts(spark, tri_edges).count())
