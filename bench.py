@@ -119,18 +119,32 @@ def main() -> None:
             "iters_per_hour": round(3600.0 / mn, 1),
         }
 
-    res = timed("pagerank_sql_5iter", lambda: pagerank(spark, edges, max_iters=5, eps=0.0))
-    pr_steady, pr_median = steady(res)
+    def pr_min_of_k(name: str, kernel_kwargs: dict, runs: int = 2):
+        # The north metric rides these rows, so they get the same min-of-k
+        # treatment as the fixpoint rows: the per-run steady estimator
+        # (min of post-warmup supersteps) is already a min-of-18, but a
+        # session-wide slow phase still shifts EVERY superstep of a single
+        # run (observed: 0.832 vs 1.036 steady across two sessions on
+        # identical code). Both runs' steady/median pairs stay auditable.
+        per_run: list[dict] = []
+        for _ in range(runs):
+            t0 = time.monotonic()
+            res = pagerank(spark, edges, max_iters=5, eps=0.0, **kernel_kwargs)
+            wall = round(time.monotonic() - t0, 3)
+            mn, md = steady(res)
+            per_run.append({"wall_sec": wall, "steady": round(mn, 3), "median": round(md, 3)})
+        best = min(per_run, key=lambda r: r["steady"])
+        queries[name] = min(r["wall_sec"] for r in per_run)
+        extras[f"{name}_runs"] = per_run
+        return best["steady"], best["median"]
+
+    pr_steady, pr_median = pr_min_of_k("pagerank_sql_5iter", {})
     extras["pagerank_sql"] = pr_extras(pr_steady, pr_median)
 
     # kernel="csr" routes to "sem" (the cogrouped V2 kernel pays O(E) Arrow
     # per superstep and is retired from the hot path; it remains covered by
     # the csr_cogroup equivalence tests and the csr correctness query)
-    res = timed(
-        "pagerank_sem_5iter",
-        lambda: pagerank(spark, edges, max_iters=5, eps=0.0, kernel="sem"),
-    )
-    sem_steady, sem_median = steady(res)
+    sem_steady, sem_median = pr_min_of_k("pagerank_sem_5iter", {"kernel": "sem"})
     extras["pagerank_sem"] = pr_extras(sem_steady, sem_median)
 
     res = timed_min("wcc_fixpoint", lambda: wcc(spark, edges))
