@@ -39,9 +39,10 @@ def main() -> None:
         type=int,
         default=0,
         help="0 = full-pairlog poll (view recomputed from all history); "
-        ">0 = LinkStore poll with this bucket count (latest view maintained "
-        "incrementally — O(new + touched buckets) per poll, the web-scale "
-        "steady-state form)",
+        ">0 = LinkStore poll with this CREATION bucket count (latest view "
+        "maintained incrementally — O(new + touched buckets) per poll, the "
+        "web-scale steady-state form). An existing store keeps its on-disk "
+        "count, so a maybe_split() grown store reopens seamlessly",
     )
     ap.add_argument(
         "--host-rank",

@@ -217,22 +217,7 @@ def pagerank(
                 spark, edges, damping, partitions, hub_threshold, personalized
             )
         elif kernel == "sem":
-            if layout_dir is None:
-                import tempfile
-
-                tmp_layout = tempfile.mkdtemp(prefix="linkgraph_sem_")
-                layout_dir = tmp_layout
-            elif not spark.sparkContext.master.startswith("local"):
-                # the layout is read worker-side with plain filesystem IO;
-                # outside local mode it must be shared storage
-                import warnings
-
-                warnings.warn(
-                    "kernel='sem' on a non-local master: layout_dir must be "
-                    "on shared storage reachable from every executor "
-                    f"(got {layout_dir!r})",
-                    stacklevel=2,
-                )
+            layout_dir, tmp_layout = _resolve_sem_layout_dir(spark, layout_dir)
             step = _make_sem_step(
                 spark, edges, damping, partitions, hub_threshold, layout_dir,
                 personalized, reuse_layout=reuse_layout,
@@ -838,6 +823,33 @@ def _sem_layout(
     return hubs, n_hubs, edge_parts, parts_df, token, disk_key
 
 
+def _resolve_sem_layout_dir(
+    spark: SparkSession, layout_dir: str | None
+) -> tuple[str, str | None]:
+    """Shared by the power-iteration and delta kernels' sem branches:
+    returns (layout_dir, tmp_layout). No caller-provided dir → a run-
+    private tempdir the caller must rmtree in its finally (tmp_layout
+    non-None signals both that and "skip the reuse manifest" — a private
+    layout can never be reused). The layout is read worker-side with
+    plain filesystem IO, so outside local mode a caller-provided dir must
+    be shared storage — warn, don't guess."""
+    if layout_dir is None:
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="linkgraph_sem_")
+        return tmp, tmp
+    if not spark.sparkContext.master.startswith("local"):
+        import warnings
+
+        warnings.warn(
+            "kernel='sem' on a non-local master: layout_dir must be "
+            "on shared storage reachable from every executor "
+            f"(got {layout_dir!r})",
+            stacklevel=3,
+        )
+    return layout_dir, None
+
+
 def _make_sem_step(
     spark: SparkSession,
     edges: DataFrame,
@@ -881,11 +893,17 @@ _SEM_CSR_EXT: dict[tuple[int, int], tuple] = {}
 
 def _sem_csr_ext(token: int, part: int, src_inv: np.ndarray,
                  dst_inv: np.ndarray, n_src: int) -> tuple:
+    # same eviction discipline as _SEM_BLOCK_CACHE (stale tokens dropped,
+    # LRU capped at _SEM_CACHE_CAP): the ext holds O(E_p) arrays, so a
+    # worker scheduled across many partitions must re-derive rather than
+    # accumulate the whole graph's CSR indices for the run's lifetime
     key = (token, part)
-    ext = _SEM_CSR_EXT.get(key)
+    ext = _SEM_CSR_EXT.pop(key, None)
     if ext is None:
         for k in [k for k in _SEM_CSR_EXT if k[0] != token]:
             del _SEM_CSR_EXT[k]
+        while len(_SEM_CSR_EXT) >= _SEM_CACHE_CAP:
+            _SEM_CSR_EXT.pop(next(iter(_SEM_CSR_EXT)))
         counts = np.bincount(src_inv, minlength=n_src)
         indptr = np.empty(n_src + 1, dtype=np.int64)
         indptr[0] = 0
@@ -898,7 +916,7 @@ def _sem_csr_ext(token: int, part: int, src_inv: np.ndarray,
         else:
             dst_by_src = dst_inv
         ext = (indptr, dst_by_src)
-        _SEM_CSR_EXT[key] = ext
+    _SEM_CSR_EXT[key] = ext  # (re)insert as most-recently-used
     return ext
 
 
@@ -1060,20 +1078,7 @@ def pagerank_delta(
                 return _apply_delta(state, msgs)
 
         elif kernel == "sem":
-            if layout_dir is None:
-                import tempfile
-
-                tmp_layout = tempfile.mkdtemp(prefix="linkgraph_sem_")
-                layout_dir = tmp_layout
-            elif not spark.sparkContext.master.startswith("local"):
-                import warnings
-
-                warnings.warn(
-                    "kernel='sem' on a non-local master: layout_dir must be "
-                    "on shared storage reachable from every executor "
-                    f"(got {layout_dir!r})",
-                    stacklevel=2,
-                )
+            layout_dir, tmp_layout = _resolve_sem_layout_dir(spark, layout_dir)
             hubs, n_hubs, edge_parts, parts_df, token, disk_key = _sem_layout(
                 spark, edges, partitions, hub_threshold, layout_dir,
                 reuse_layout=reuse_layout, manifest=tmp_layout is None,

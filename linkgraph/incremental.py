@@ -50,19 +50,29 @@ math is sound: ``link_store_components_poll`` (warm-start + frontier-
 restricted WCC, gated on grow-only evidence) and
 ``link_store_triangles_poll`` (delta-driven triangle maintenance).
 Synchronous LP deliberately has no incremental form (not monotone — a
-warm seed is a different algorithm). Warm/delta gating is two-factor:
+warm seed is a different algorithm). Warm/delta gating:
 ``replaced_srcs == 0`` for THIS merge (no re-crawl/tombstone removals)
 AND the product state's committed ``merged_through`` stamp equals the
 store watermark observed before this poll's ingest (a poll that crashed
 between its merge and its state commit otherwise leaves edges no stored
-state or frontier accounts for). Rank polls need neither: any seed
-reaches the unique fixpoint.
+state or frontier accounts for) AND — components only — the committed
+labels carry ``converged: true`` (max_iters-exhausted labels are not a
+fixpoint; warm+frontier from them would freeze the unfinished
+propagation in forever). Rank polls need none of these: any seed
+reaches the unique fixpoint. The stable DICTIONARY has its own
+watermark stamp with a different failure mode: a crash between a merge
+and the dict commit replays with no touched buckets, so a stale stamp
+switches the candidate scan from touched-bucket to all-bucket
+(``_dict_candidates``) — without it the lost merge's urls would be
+dropped from the edge view forever, silently.
 
 Store maintenance is NOT a poll concern: the ops loop calls
 ``LinkStore.maybe_split(max_bucket_bytes)`` between polls (schedulable,
 one full-store rewrite at most) so merge cost stays bounded as the
 corpus grows; polls themselves never change the bucket count, keeping
-per-poll cost predictable.
+per-poll cost predictable — they open the store with
+``LinkStore.open_or_create`` (adopt the on-disk count), so a split
+between polls never strands the loop on a bucket-count mismatch.
 """
 
 from __future__ import annotations
@@ -76,6 +86,60 @@ from linkgraph.build import extend_vertex_ids, pairs_to_edges
 from linkgraph.conventions import PR_DAMPING, PR_EPS, PR_MAX_ITERS
 
 
+def _extend_and_commit_dict(
+    spark: SparkSession,
+    dict_path: str,
+    candidates: DataFrame,
+    partitions: int,
+    meta: dict | None = None,
+) -> tuple[DataFrame, int]:
+    """THE stable-dictionary protocol, one implementation for every poll:
+    known urls keep ids, novel urls append above max
+    (``build.extend_vertex_ids``); the extension is materialized
+    (localCheckpoint) BEFORE replacing the parquet it was derived from — a
+    lazy plan over files being replaced is a read-after-delete crash or
+    silent corruption; the replacement is a staged swap
+    (``io.committed_overwrite``): a crash mid-write must never leave a
+    partial dict that the next poll reads as "these urls are gone",
+    reassigning their ids and invalidating every id-keyed state row.
+    Returns (dictionary, n_urls); n_urls == 0 (crawler produced nothing
+    yet) skips the commit — callers early-return. ``meta``: sidecar stamp
+    committed atomically with the rows (the store polls record the
+    merged_through watermark the dictionary reflects —
+    ``_dict_candidates``)."""
+    from linkgraph.io import committed_overwrite, read_committed_or_none
+
+    existing = read_committed_or_none(spark, dict_path, "id long, url string")
+    if existing is None:
+        existing = spark.createDataFrame([], "id long, url string")
+    dictionary = extend_vertex_ids(
+        existing, candidates, partitions=partitions
+    ).localCheckpoint(eager=True)
+    n_urls = dictionary.count()
+    if n_urls:
+        committed_overwrite(spark, dictionary, dict_path, meta=meta)
+    return dictionary, n_urls
+
+
+def _dict_candidates(spark: SparkSession, store, dict_path: str, prev_merged: int, mstats: dict) -> DataFrame:
+    """Candidate urls for this poll's dictionary extension: the touched
+    buckets' winner urls when the dictionary PROVABLY reflects the store
+    through ``prev_merged`` (its committed stamp matches the watermark
+    observed before this poll's merge), else every bucket's. The fallback
+    closes the merge→dict-commit crash window: ``merge()`` advances
+    ``merged_through``; a driver that dies before the dict commit replays
+    with ``touched_buckets=[]``, so the lost merge's urls are reachable
+    only by a full scan — without this check their edges are silently
+    dropped by ``pairs_to_edges``'s inner join FOREVER (no later poll
+    revisits them until those exact pages are re-crawled). O(corpus) on
+    the rare recovery/first/legacy poll, O(touched buckets) steady-state."""
+    from linkgraph.io import read_state_meta
+
+    meta = read_state_meta(spark, dict_path)
+    current = meta is not None and meta.get("merged_through") == prev_merged
+    return store.changed_urls(mstats["touched_buckets"] if current else None)
+
+
 def _extend_dict_and_rank(
     spark: SparkSession,
     state_dir: str,
@@ -87,6 +151,7 @@ def _extend_dict_and_rank(
     partitions: int,
     t0: float,
     extra: dict | None = None,
+    dict_meta: dict | None = None,
 ) -> dict:
     """Shared poll core: extend the stable dictionary with
     ``candidate_urls``, derive edges from ``pairs`` (the batch rule —
@@ -95,21 +160,9 @@ def _extend_dict_and_rank(
     from linkgraph.algos import pagerank
     from linkgraph.io import committed_overwrite, read_committed_or_none
 
-    # stable dictionary: known urls keep ids; novel urls appended above max.
-    # Materialize (localCheckpoint) BEFORE replacing the parquet it was
-    # derived from — a lazy plan over files being replaced is a read-after-
-    # delete crash or silent corruption. The replacement itself is a staged
-    # swap (io.committed_overwrite): a crash mid-write must never leave a
-    # partial dict/ that the next poll would read as "these urls are gone",
-    # reassigning their ids and invalidating every id-keyed state row.
-    dict_path = f"{state_dir}/dict"
-    existing = read_committed_or_none(spark, dict_path, "id long, url string")
-    if existing is None:
-        existing = spark.createDataFrame([], "id long, url string")
-    dictionary = extend_vertex_ids(
-        existing, candidate_urls, partitions=partitions
-    ).localCheckpoint(eager=True)
-    n_urls = dictionary.count()
+    dictionary, n_urls = _extend_and_commit_dict(
+        spark, f"{state_dir}/dict", candidate_urls, partitions, meta=dict_meta
+    )
     if n_urls == 0:
         # crawler hasn't produced a single page yet: nothing to rank, and
         # running the superstep loop on empty state would burn max_iters
@@ -120,7 +173,6 @@ def _extend_dict_and_rank(
             "warm_started": False, "seconds": round(time.monotonic() - t0, 3),
             **(extra or {}),
         }
-    committed_overwrite(spark, dictionary, dict_path)
 
     # SAME rule as the batch build (build.pairs_to_edges) — the
     # incremental-vs-batch equivalence tests depend on one shared source
@@ -221,7 +273,7 @@ def host_store_rank_poll(
     from linkgraph.linkstore import LinkStore
 
     t0 = time.monotonic()
-    store = LinkStore(spark, f"{state_dir}/links", buckets=buckets)
+    store = LinkStore.open_or_create(spark, f"{state_dir}/links", buckets=buckets)
     prev = store.merged_through()  # the watermark HostAgg must be at
     store.ingest(pages_path)
     mstats = store.merge()
@@ -240,26 +292,21 @@ def host_store_rank_poll(
             "partials_rebuilt": rstats["rebuilt"],
         }
 
-        # stable HOST dictionary — same contract as the page loop's dict:
-        # known hosts keep ids, novel hosts append above max, staged swap.
-        # Candidates are the roll-up's endpoints: O(hosts), not O(pages).
-        dict_path = f"{state_dir}/hostdict"
-        existing = read_committed_or_none(spark, dict_path, "id long, url string")
-        if existing is None:
-            existing = spark.createDataFrame([], "id long, url string")
+        # stable HOST dictionary — same protocol as the page loop's dict.
+        # Candidates are the FULL roll-up's endpoints (O(hosts), not
+        # O(pages)) — every poll sees every live host, so this dictionary
+        # has no merge→commit crash window and needs no watermark stamp.
         hosts = hedges.select(F.col("src_host").alias("url")).unionByName(
             hedges.select(F.col("dst_host").alias("url"))
         )
-        hdict = extend_vertex_ids(
-            existing, hosts, partitions=partitions
-        ).localCheckpoint(eager=True)
-        n_hosts = hdict.count()
+        hdict, n_hosts = _extend_and_commit_dict(
+            spark, f"{state_dir}/hostdict", hosts, partitions
+        )
         if n_hosts == 0:
             return {
                 "hosts": 0, "iterations": 0, "warm_started": False,
                 "seconds": round(time.monotonic() - t0, 3), **extra,
             }
-        committed_overwrite(spark, hdict, dict_path)
 
         ranks_path = f"{state_dir}/host_ranks"
         init_ranks = read_committed_or_none(spark, ranks_path, "id long, rank double")
@@ -310,10 +357,13 @@ def link_store_rank_poll(
     from linkgraph.linkstore import LinkStore
 
     t0 = time.monotonic()
-    store = LinkStore(spark, f"{state_dir}/links", buckets=buckets)
+    store = LinkStore.open_or_create(spark, f"{state_dir}/links", buckets=buckets)
+    prev_merged = store.merged_through()  # watermark BEFORE this poll
     store.ingest(pages_path)
     mstats = store.merge()
-    candidates = store.changed_urls(mstats["touched_buckets"])
+    candidates = _dict_candidates(
+        spark, store, f"{state_dir}/dict", prev_merged, mstats
+    )
     return _extend_dict_and_rank(
         spark,
         state_dir,
@@ -328,6 +378,7 @@ def link_store_rank_poll(
             "new_rows": mstats["new_rows"],
             "touched_buckets": len(mstats["touched_buckets"]),
         },
+        dict_meta={"merged_through": mstats["merged_through"]},
     )
 
 
@@ -368,21 +419,19 @@ def link_store_components_poll(
     from linkgraph.linkstore import LinkStore
 
     t0 = time.monotonic()
-    store = LinkStore(spark, f"{state_dir}/links", buckets=buckets)
+    store = LinkStore.open_or_create(spark, f"{state_dir}/links", buckets=buckets)
     prev_merged = store.merged_through()  # watermark BEFORE this poll
     store.ingest(pages_path)
     mstats = store.merge(track_replaced=True)
-    candidates = store.changed_urls(mstats["touched_buckets"])
+    candidates = _dict_candidates(
+        spark, store, f"{state_dir}/dict", prev_merged, mstats
+    )
 
-    # stable dictionary, same contract + staged swap as the rank poll
-    dict_path = f"{state_dir}/dict"
-    existing = read_committed_or_none(spark, dict_path, "id long, url string")
-    if existing is None:
-        existing = spark.createDataFrame([], "id long, url string")
-    dictionary = extend_vertex_ids(
-        existing, candidates, partitions=partitions
-    ).localCheckpoint(eager=True)
-    n_urls = dictionary.count()
+    # stable dictionary, same protocol + staged swap as the rank poll
+    dictionary, n_urls = _extend_and_commit_dict(
+        spark, f"{state_dir}/dict", candidates, partitions,
+        meta={"merged_through": mstats["merged_through"]},
+    )
     extra = {
         "new_rows": mstats["new_rows"],
         "touched_buckets": len(mstats["touched_buckets"]),
@@ -391,27 +440,32 @@ def link_store_components_poll(
     if n_urls == 0:
         return {
             "urls": 0, "edges": 0, "iterations": 0, "warm_started": False,
-            "seconds": round(time.monotonic() - t0, 3), **extra,
+            "converged": True, "seconds": round(time.monotonic() - t0, 3),
+            **extra,
         }
-    committed_overwrite(spark, dictionary, dict_path)
 
     edges = pairs_to_edges(store.current_pairs(), dictionary).persist()
     try:
         n_edges = edges.count()
         comps_path = f"{state_dir}/comps"
         prev = read_committed_or_none(spark, comps_path, "id long, comp long")
-        # the warm/frontier path is sound only if ``prev`` reflects the
-        # store EXACTLY as it stood before this poll's merge: a poll that
-        # crashed between its merge and its comps commit leaves edges in
-        # the store that no stored labels (or future frontier) account
-        # for. The watermark stamped into the comps commit detects that
-        # window — mismatch ⇒ cold start (correct, never wrong).
+        # the warm/frontier path is sound only if ``prev`` is the CONVERGED
+        # labeling of the store EXACTLY as it stood before this poll's
+        # merge: a poll that crashed between its merge and its comps commit
+        # leaves edges no stored labels (or future frontier) account for —
+        # the watermark stamped into the comps commit detects that window —
+        # and labels committed by a run that hit max_iters mid-propagation
+        # are NOT a fixpoint, so warm-starting from them (with a frontier
+        # that skips old-component vertices) would freeze the unfinished
+        # propagation into every later poll — the ``converged`` stamp
+        # detects that. Any mismatch ⇒ cold start (correct, never wrong).
         meta = read_state_meta(spark, comps_path)
         warm = (
             prev is not None
             and mstats["replaced_srcs"] == 0
             and meta is not None
             and meta.get("merged_through") == prev_merged
+            and meta.get("converged") is True
         )
         # frontier restriction (warm only): the previous labels are the
         # converged fixpoint of the old subgraph, so only the touched
@@ -432,13 +486,19 @@ def link_store_components_poll(
             init_comps=prev if warm else None,
             init_frontier=frontier,
         )
+        # a run that exhausted max_iters with labels still changing is not
+        # a fixpoint: commit it (best labels so far, and the stamp keeps
+        # the store watermark honest) but mark it non-warmable — the next
+        # poll must cold-start, not propagate from a half-converged seed
+        changed_last = res.metrics[-1].get("changed") if res.metrics else 0
+        converged = int(changed_last or 0) == 0
         state = res.state.select("id", "comp")
         if res.iterations == 0:
             # same lazy-plan-over-replaced-files hazard as the rank loop
             state = state.localCheckpoint(eager=True)
         committed_overwrite(
             spark, state, comps_path,
-            meta={"merged_through": mstats["merged_through"]},
+            meta={"merged_through": mstats["merged_through"], "converged": converged},
         )
     finally:
         edges.unpersist()
@@ -448,6 +508,7 @@ def link_store_components_poll(
         "edges": n_edges,
         "iterations": res.iterations,
         "warm_started": warm,
+        "converged": converged,
         "seconds": round(time.monotonic() - t0, 3),
         **extra,
     }
@@ -487,20 +548,19 @@ def link_store_triangles_poll(
     from linkgraph.linkstore import LinkStore
 
     t0 = time.monotonic()
-    store = LinkStore(spark, f"{state_dir}/links", buckets=buckets)
+    store = LinkStore.open_or_create(spark, f"{state_dir}/links", buckets=buckets)
     prev_merged = store.merged_through()  # watermark BEFORE this poll
     store.ingest(pages_path)
     mstats = store.merge(track_replaced=True)
-    candidates = store.changed_urls(mstats["touched_buckets"])
+    candidates = _dict_candidates(
+        spark, store, f"{state_dir}/dict", prev_merged, mstats
+    )
 
-    dict_path = f"{state_dir}/dict"
-    existing = read_committed_or_none(spark, dict_path, "id long, url string")
-    if existing is None:
-        existing = spark.createDataFrame([], "id long, url string")
-    dictionary = extend_vertex_ids(
-        existing, candidates, partitions=partitions
-    ).localCheckpoint(eager=True)
-    n_urls = dictionary.count()
+    # stable dictionary, same protocol + staged swap as the rank poll
+    dictionary, n_urls = _extend_and_commit_dict(
+        spark, f"{state_dir}/dict", candidates, partitions,
+        meta={"merged_through": mstats["merged_through"]},
+    )
     extra = {
         "new_rows": mstats["new_rows"],
         "touched_buckets": len(mstats["touched_buckets"]),
@@ -511,7 +571,6 @@ def link_store_triangles_poll(
             "urls": 0, "edges": 0, "incremental": False,
             "seconds": round(time.monotonic() - t0, 3), **extra,
         }
-    committed_overwrite(spark, dictionary, dict_path)
 
     edges = pairs_to_edges(store.current_pairs(), dictionary).persist()
     try:

@@ -149,6 +149,21 @@ class LinkStore:
                 )
             self.buckets = b
 
+    @classmethod
+    def open_or_create(
+        cls, spark: SparkSession, root: str, buckets: int = 64
+    ) -> "LinkStore":
+        """Open an existing store ADOPTING its on-disk bucket count, or
+        create a fresh one with ``buckets``. This is the spelling the
+        steady-state polls use: the ops loop grows the store between polls
+        (``maybe_split``), so a poll pinning the creation-time count would
+        refuse to open its own store after the first split. Before the
+        first merge the count has no on-disk footprint (deltas carry no
+        lb), so "exists" is keyed on ``_meta`` — written by every merge
+        and every split."""
+        exists = fs_exists(spark, f"{root.rstrip('/')}/_meta")
+        return cls(spark, root, buckets=None if exists else buckets)
+
     # ------------------------------------------------------------- metadata
     def _read_meta(self) -> dict | None:
         if not fs_exists(self.spark, self.meta_path):
@@ -473,12 +488,17 @@ class LinkStore:
             .distinct()
         )
 
-    def changed_urls(self, touched: list[int]) -> DataFrame:
+    def changed_urls(self, touched: list[int] | None) -> DataFrame:
         """Distinct urls appearing in the touched buckets' CURRENT winner
         rows — the only urls a poll can have introduced, which is all the
         id dictionary needs to see (winner-restricted so the dictionary
-        matches what a full-log rebuild would produce)."""
-        if not touched:
+        matches what a full-log rebuild would produce). ``touched=None``
+        scans EVERY bucket — the recovery spelling for a dictionary that
+        cannot prove it reflects the store (a poll that crashed between
+        its merge and its dict commit replays with touched_buckets=[],
+        so the lost merge's urls are only reachable by a full scan);
+        ``touched=[]`` stays the cheap no-new-rows empty result."""
+        if touched is not None and not touched:
             return self.spark.createDataFrame([], "url string")
         rows = self._read_latest(touched).filter(F.col("dst_url").isNotNull())
         return (

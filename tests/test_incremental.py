@@ -478,3 +478,223 @@ def test_poll_crash_between_merge_and_commit_forces_cold(spark, tmp_path):
         new_pages(5000, targets[:1]).coalesce(1).write.mode("append").parquet(stage)
         m3 = poll_fn(spark, stage, state, partitions=8, buckets=8)
         assert m3[flag], f"{state_name}: watermark did not recover"
+
+
+def test_poll_survives_store_split_between_polls(spark, tmp_path):
+    """The documented maintenance loop — polls with a fixed bucket
+    argument, ``maybe_split``/``split`` between polls — must keep working
+    after the store grows: polls open with ``LinkStore.open_or_create``
+    (adopt the on-disk count), so a split does not strand the loop on a
+    bucket-count mismatch, ids stay stable, and the post-split poll's
+    ranks still match the pre-split trajectory's semantics (fresh srcs
+    rank identically to an unsplit store over the same crawl)."""
+    from linkgraph.incremental import link_store_rank_poll
+    from linkgraph.linkstore import LinkStore
+    from linkgraph.synth import gen_pages
+
+    stage = str(tmp_path / "pages")
+    state = str(tmp_path / "state")
+    pages1 = gen_pages(spark, 40)
+    pages1.coalesce(1).write.mode("overwrite").parquet(stage)
+    m1 = link_store_rank_poll(spark, stage, state, partitions=8, buckets=4)
+    assert m1["edges"] > 0
+    dict1 = {r["url"]: r["id"] for r in spark.read.parquet(f"{state}/dict").collect()}
+
+    # ops maintenance between polls: grow the store
+    store = LinkStore.open_or_create(spark, f"{state}/links", buckets=4)
+    assert store.split(2)["buckets"] == 8
+
+    # the next poll (same creation-count argument) must adopt 8, not raise
+    gen_pages(spark, 50).coalesce(1).write.mode("overwrite").parquet(stage)
+    m2 = link_store_rank_poll(spark, stage, state, partitions=8, buckets=4)
+    assert m2["urls"] >= m1["urls"]
+    dict2 = {r["url"]: r["id"] for r in spark.read.parquet(f"{state}/dict").collect()}
+    for u, i in dict1.items():
+        assert dict2[u] == i, f"{u} renumbered across the split"
+    assert LinkStore.open_or_create(spark, f"{state}/links").buckets == 8
+
+
+def test_crash_between_merge_and_dict_commit_recovers_urls(spark, tmp_path):
+    """THE dictionary crash window: a poll that merges new pages into the
+    store but dies before committing the extended dictionary replays with
+    ``touched_buckets=[]`` — the lost merge's urls are invisible to a
+    touched-bucket candidate scan, and ``pairs_to_edges`` would silently
+    drop their edges from every later poll. The dict watermark stamp must
+    detect the gap and fall back to a full-bucket candidate scan, after
+    which every url in the store's current pairs has a dictionary id and
+    the converged ranks match a from-scratch batch build."""
+    import datetime as dt
+
+    from linkgraph.algos import pagerank
+    from linkgraph.build import build_graph
+    from linkgraph.incremental import link_store_rank_poll
+    from linkgraph.linkstore import LinkStore
+    from linkgraph.synth import gen_pages, page_url
+
+    eps = 1e-9
+    stage = str(tmp_path / "pages")
+    state = str(tmp_path / "state")
+    pages1 = gen_pages(spark, 40)
+    targets = [r["url"] for r in pages1.select("url").orderBy("url").limit(3).collect()]
+    pages1.coalesce(1).write.mode("overwrite").parquet(stage)
+    m1 = link_store_rank_poll(spark, stage, state, eps=eps, partitions=8, buckets=8)
+    assert m1["edges"] > 0
+
+    # simulated crash: new pages (fresh urls) are merged into the store,
+    # but the poll dies before the dictionary commit
+    crash_pages = spark.createDataFrame(
+        [
+            (
+                page_url(7000 + i),
+                dt.datetime(2024, 6, 4, 12, 0, i),
+                f'<html><body><a href="{t}">t</a></body></html>'.encode(),
+                "",
+                "en",
+            )
+            for i, t in enumerate(targets)
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    crash_pages.coalesce(1).write.mode("append").parquet(stage)
+    store = LinkStore(spark, f"{state}/links", buckets=None)
+    store.ingest(stage)
+    assert store.merge()["new_rows"] > 0
+
+    # replay poll: its own merge sees nothing new, so only the stale-dict
+    # fallback can recover the crashed merge's urls
+    m2 = link_store_rank_poll(spark, stage, state, eps=eps, partitions=8, buckets=8)
+    assert m2["new_rows"] == 0
+
+    dictionary = spark.read.parquet(f"{state}/dict")
+    pairs = LinkStore(spark, f"{state}/links", buckets=None).current_pairs()
+    pair_urls = (
+        pairs.select(F.col("src_url").alias("url"))
+        .unionByName(pairs.select(F.col("dst_url").alias("url")))
+        .distinct()
+    )
+    missing = pair_urls.join(dictionary, "url", "left_anti").count()
+    assert missing == 0, f"{missing} store urls absent from the dictionary"
+    for i in range(len(targets)):
+        assert dictionary.filter(F.col("url") == page_url(7000 + i)).count() == 1
+
+    # and the committed ranks equal a from-scratch batch build+rank
+    g = build_graph(pages1.unionByName(crash_pages), partitions=8)
+    batch = pagerank(spark, g.edges, vertices=g.vertices.select("id"), eps=eps, max_iters=200)
+    inc = (
+        spark.read.parquet(f"{state}/ranks")
+        .join(dictionary, "id")
+        .select("url", F.col("rank").alias("inc_rank"))
+    )
+    ref = batch.state.join(g.vertices.select("id", "url"), "id").select(
+        "url", F.col("rank").alias("batch_rank")
+    )
+    both = inc.join(ref, "url").toPandas()
+    assert len(both) == inc.count() > 0
+    assert np.allclose(
+        both["inc_rank"].to_numpy(), both["batch_rank"].to_numpy(), rtol=0, atol=100 * eps
+    )
+
+
+def test_components_poll_never_warms_from_nonconverged_labels(spark, tmp_path):
+    """Labels committed by a run that exhausted max_iters mid-propagation
+    are not a fixpoint; warm-starting from them with a touched-bucket
+    frontier would freeze the unfinished propagation into every later
+    poll. The ``converged`` stamp must force the next poll cold, and once
+    a poll converges the labels must equal batch WCC and re-enable the
+    warm path."""
+    import datetime as dt
+
+    from linkgraph.algos import wcc
+    from linkgraph.build import build_graph
+    from linkgraph.incremental import link_store_components_poll
+    from linkgraph.synth import page_url
+
+    def chain_pages(n, t0=0):
+        # p_i -> p_{i+1}: a path graph, diameter n-1 — min-label
+        # propagation needs ~n rounds, so a tiny max_iters cannot converge
+        rows = [
+            (
+                page_url(i),
+                dt.datetime(2024, 6, 5, 12, 0, t0),
+                f'<html><body><a href="{page_url(i + 1)}">n</a></body></html>'.encode(),
+                "",
+                "en",
+            )
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+
+    stage = str(tmp_path / "pages")
+    state = str(tmp_path / "state")
+    chain_pages(24).coalesce(1).write.mode("overwrite").parquet(stage)
+    m1 = link_store_components_poll(
+        spark, stage, state, max_iters=3, partitions=8, buckets=8
+    )
+    assert m1["edges"] > 0 and not m1["converged"]
+
+    # grow-only append: the watermark matches and replaced_srcs == 0, so
+    # ONLY the converged stamp stands between this poll and a wrong warm
+    # start from the half-propagated labels
+    extra = spark.createDataFrame(
+        [
+            (
+                page_url(900),
+                dt.datetime(2024, 6, 5, 13, 0, 0),
+                f'<html><body><a href="{page_url(0)}">n</a></body></html>'.encode(),
+                "",
+                "en",
+            )
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    extra.coalesce(1).write.mode("append").parquet(stage)
+    m2 = link_store_components_poll(
+        spark, stage, state, max_iters=200, partitions=8, buckets=8
+    )
+    assert m2["replaced_srcs"] == 0
+    assert not m2["warm_started"], "warm-started from a non-fixpoint seed"
+    assert m2["converged"]
+
+    # converged labels equal batch WCC over the same crawl (joined by url)
+    g = build_graph(chain_pages(24).unionByName(extra), partitions=8)
+    batch = wcc(spark, g.edges, vertices=g.vertices.select("id"))
+    dictionary = spark.read.parquet(f"{state}/dict")
+    inc = (
+        spark.read.parquet(f"{state}/comps")
+        .join(dictionary, "id")
+        .select("url", F.col("comp").alias("inc_comp"))
+    )
+    ref = (
+        batch.state.join(g.vertices.select("id", "url"), "id")
+        .select("url", F.col("comp").alias("batch_comp"))
+    )
+    both = inc.join(ref, "url").toPandas()
+    assert len(both) == inc.count() > 0
+    # component PARTITIONS must match (ids differ across the two
+    # dictionaries; the min-id labels are dictionary-relative)
+    import pandas as pd
+
+    grp_inc = both.groupby("inc_comp")["url"].apply(frozenset).tolist()
+    grp_ref = both.groupby("batch_comp")["url"].apply(frozenset).tolist()
+    assert sorted(grp_inc, key=sorted) == sorted(grp_ref, key=sorted)
+
+    # a following grow-only poll warm-starts again
+    extra2 = spark.createDataFrame(
+        [
+            (
+                page_url(901),
+                dt.datetime(2024, 6, 5, 14, 0, 0),
+                f'<html><body><a href="{page_url(1)}">n</a></body></html>'.encode(),
+                "",
+                "en",
+            )
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    extra2.coalesce(1).write.mode("append").parquet(stage)
+    m3 = link_store_components_poll(
+        spark, stage, state, max_iters=200, partitions=8, buckets=8
+    )
+    assert m3["warm_started"] and m3["converged"]
