@@ -195,6 +195,11 @@ def build_graph(
             F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
         )
     )
+    # materialize the edge cache BEFORE dropping its upstream caches:
+    # edges is persisted but lazy, so unpersisting pairs/snap first would
+    # make the caller's first action re-run the whole-corpus extraction
+    # UDF pass (the dominant build cost) from the raw pages a second time
+    edges.count()
     pairs.unpersist()
     snap.unpersist()
     return Graph(vertices=vertices.persist(), edges=edges)

@@ -26,11 +26,17 @@ class ParquetCatalog:
     root: str
 
     def path(self, name: str) -> str:
+        # existence via the Hadoop FS, not os.path: the root is routinely
+        # hdfs:///s3a:// on a cluster, where a driver-local exists() is
+        # always False and '<name>.parquet' dirs would silently stop
+        # resolving (fs_exists degrades to the local fs for plain paths)
+        from linkgraph.engine import fs_exists
+
         for cand in (
             os.path.join(self.root, name),
             os.path.join(self.root, f"{name}.parquet"),
         ):
-            if os.path.exists(cand):
+            if fs_exists(self.spark, cand):
                 return cand
         return os.path.join(self.root, name)
 

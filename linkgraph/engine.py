@@ -305,7 +305,9 @@ class SuperstepEngine:
                     stacklevel=3,
                 )
             return
-        os.makedirs(os.path.dirname(self.metrics_path), exist_ok=True)
+        parent = os.path.dirname(self.metrics_path)
+        if parent:  # bare filename -> cwd; makedirs("") raises
+            os.makedirs(parent, exist_ok=True)
         with open(self.metrics_path, "a") as f:
             f.write(json.dumps(record) + "\n")
 

@@ -186,6 +186,11 @@ class HostAgg:
     guessing which buckets might be stale. A crash mid-refresh leaves meta
     un-advanced, which the next poll detects the same way; wasteful,
     never wrong (the same degradation contract as losing LinkStore meta).
+    All swaps are rename-aside, never a recursive delete of live state
+    (LinkStore's protocol): ``_repair_asides`` restores any dir a crash
+    stranded mid-swap, and ``host_edges`` falls back to the complete
+    pre-rebuild ``parts.old`` if a full-rebuild swap died between its
+    renames — a reader never sees an empty roll-up where data exists.
     """
 
     _PART_SCHEMA = "src_host string, dst_host string, w long, lb int"
@@ -195,8 +200,39 @@ class HostAgg:
         self.root = root.rstrip("/")
         self.parts_dir = f"{self.root}/parts"
         self.staging_dir = f"{self.root}/parts.staging"
+        self.old_dir = f"{self.root}/parts.old"
+        self.aside_dir = f"{self.root}/parts.aside"
         self.meta_path = f"{self.root}/_meta"
         self.keep_intra = keep_intra
+
+    def _repair_asides(self) -> None:
+        """Complete any swap a crash interrupted (same invariants as
+        ``LinkStore._repair_asides``). Whole-dir first: a full rebuild
+        that died between its two renames left the complete PRE-rebuild
+        partials in ``parts.old`` — restore them (meta was not advanced,
+        so they are the state meta describes; the rebuild re-runs).
+        Then per-bucket: an incremental swap that died between its
+        renames left that bucket's pre-swap content in ``parts.aside`` —
+        restore it (stale at worst, and the meta mismatch forces the
+        full rebuild right after)."""
+        from linkgraph.engine import fs_delete, fs_exists, fs_list_names, fs_rename
+
+        if not fs_exists(self.spark, self.parts_dir) and fs_exists(
+            self.spark, self.old_dir
+        ):
+            if not fs_rename(self.spark, self.old_dir, self.parts_dir):
+                raise IOError(
+                    f"HostAgg: repair rename {self.old_dir} -> {self.parts_dir} failed"
+                )
+        for name in fs_list_names(self.spark, self.aside_dir):
+            if not name.startswith("lb="):
+                continue
+            live = f"{self.parts_dir}/{name}"
+            aside = f"{self.aside_dir}/{name}"
+            if fs_exists(self.spark, live):
+                fs_delete(self.spark, aside)
+            elif not fs_rename(self.spark, aside, live):
+                raise IOError(f"HostAgg: repair rename {aside} -> {live} failed")
 
     def _read_meta(self) -> dict | None:
         from linkgraph.engine import fs_exists, fs_read_text
@@ -244,6 +280,7 @@ class HostAgg:
         reflect for the touched-bucket fast path to be sound."""
         from linkgraph.engine import fs_delete, fs_exists, fs_mkdirs, fs_rename
 
+        self._repair_asides()
         meta = self._read_meta()
         incremental = (
             meta is not None
@@ -251,16 +288,28 @@ class HostAgg:
             and int(meta["merged_through"]) == expected_merged_through
         )
         if not incremental:
-            # refuse-don't-guess: rebuild every partial from the store
+            # refuse-don't-guess: rebuild every partial from the store.
+            # Swap is rename-aside, never a recursive delete of live
+            # state: a crash between the renames leaves the complete
+            # pre-rebuild partials in parts.old for _repair_asides (and
+            # host_edges' read fallback) — meta is only advanced after
+            # the swap, so the restored state is the state meta describes
             fs_delete(self.spark, self.staging_dir)
             self._bucket_partials(store, None).write.partitionBy("lb").mode(
                 "overwrite"
             ).parquet(self.staging_dir)
-            fs_delete(self.spark, self.parts_dir)
+            fs_delete(self.spark, self.old_dir)
+            if fs_exists(self.spark, self.parts_dir) and not fs_rename(
+                self.spark, self.parts_dir, self.old_dir
+            ):
+                raise IOError(
+                    f"HostAgg: rename {self.parts_dir} -> {self.old_dir} failed"
+                )
             if not fs_rename(self.spark, self.staging_dir, self.parts_dir):
                 raise IOError(
                     f"HostAgg: rename {self.staging_dir} -> {self.parts_dir} failed"
                 )
+            fs_delete(self.spark, self.old_dir)
             self._write_meta(store.merged_through(), store.buckets)
             return {"rebuilt": True, "refreshed_buckets": store.buckets}
 
@@ -271,18 +320,28 @@ class HostAgg:
                 "overwrite"
             ).parquet(self.staging_dir)
             fs_mkdirs(self.spark, self.parts_dir)
+            fs_mkdirs(self.spark, self.aside_dir)
             for k in touched:
                 name = f"lb={k}"
                 live = f"{self.parts_dir}/{name}"
                 staged = f"{self.staging_dir}/{name}"
+                aside = f"{self.aside_dir}/{name}"
                 # a touched bucket can legitimately produce ZERO partial
                 # rows (all tombstones / intra-host / unparseable) — the
-                # stale live dir must still go
-                fs_delete(self.spark, live)
+                # stale live dir must still go; rename-aside instead of
+                # delete so a crash mid-swap never loses the bucket (at
+                # most one bucket is mid-swap; the next refresh repairs
+                # it and the meta mismatch forces a rebuild)
+                fs_delete(self.spark, aside)
+                if fs_exists(self.spark, live) and not fs_rename(
+                    self.spark, live, aside
+                ):
+                    raise IOError(f"HostAgg: rename {live} -> {aside} failed")
                 if fs_exists(self.spark, staged) and not fs_rename(
                     self.spark, staged, live
                 ):
                     raise IOError(f"HostAgg: rename {staged} -> {live} failed")
+                fs_delete(self.spark, aside)
             fs_delete(self.spark, self.staging_dir)
         self._write_meta(store.merged_through(), store.buckets)
         return {"rebuilt": False, "refreshed_buckets": len(touched)}
@@ -290,10 +349,23 @@ class HostAgg:
     def host_edges(self) -> DataFrame:
         """The full (src_host, dst_host, weight) roll-up: one hash agg over
         the partials — O(host edges), with no page-corpus scan. Exactly
-        equal to ``host_edges(store.current_pairs())`` (integer partials)."""
+        equal to ``host_edges(store.current_pairs())`` (integer partials).
+
+        Reader-side crash fallback (non-mutating, the io.py reader
+        discipline): if a full rebuild died between its two renames,
+        ``parts/`` is missing but the complete pre-rebuild partials sit
+        in ``parts.old`` — serve those (they are the state ``_meta``
+        still describes) instead of silently returning an empty roll-up.
+        A reader overlapping an INCREMENTAL bucket swap can still miss at
+        most the one mid-swap bucket until the next refresh repairs it —
+        the same stated window as LinkStore's readers."""
+        from linkgraph.engine import fs_exists
         from linkgraph.io import read_parquet_or_empty
 
-        parts = read_parquet_or_empty(self.spark, self.parts_dir, self._PART_SCHEMA)
+        src = self.parts_dir
+        if not fs_exists(self.spark, src) and fs_exists(self.spark, self.old_dir):
+            src = self.old_dir
+        parts = read_parquet_or_empty(self.spark, src, self._PART_SCHEMA)
         return parts.groupBy("src_host", "dst_host").agg(
             F.sum("w").cast("double").alias("weight")
         )

@@ -44,6 +44,17 @@ def _norm(a):
     )
 
 
+def _cosine(a, b):
+    """Cosine with a zero-norm guard: Spark 4 runs ANSI mode by default,
+    where double/0.0 RAISES — one all-zeros embedding (failed encode,
+    null padding) would otherwise kill the whole query. try_divide turns
+    the degenerate row's score into NULL, which every downstream
+    threshold filter / top-k window drops (the SQL oracles carry the
+    matching NULLIF; testdata embeddings are unit-norm, so values are
+    untouched where both are defined)."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for the first N_QUERIES vectors (excluding self)."""
     emb = _emb(spark, sf_dir)
@@ -56,7 +67,7 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(_dot(F.col("q"), F.col("e")) / (_norm(F.col("q")) * _norm(F.col("e"))), 3).alias("cosine"),
+        F.round(_cosine(F.col("q"), F.col("e")), 3).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -71,7 +82,7 @@ WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_
 scored AS (
     SELECT q.query_id, e.vec_id AS neighbor_id,
            ROUND(list_dot_product(q.qv, e.embedding)
-                 / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.embedding, e.embedding))), 3) AS cosine
+                 / NULLIF(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.embedding, e.embedding)), 0), 3) AS cosine
     FROM q, embeddings e
     WHERE q.query_id <> e.vec_id
 )
@@ -102,18 +113,32 @@ FROM embeddings GROUP BY label ORDER BY label
 
 EMB_NEAR_DUP_COS = 0.4  # near-dup threshold for the exact pair query
 # Above this corpus size the exact all-pairs crossJoin is a scale-killer
-# (O(n^2) pairs); embedding_near_dup_pairs then routes through banded
-# SimHash LSH + exact in-bucket rescore instead.
-EMB_EXACT_MAX_ROWS = 100_000
+# (O(n^2) pairs: at 20k rows that is already 2x10^8 scored pairs);
+# embedding_near_dup_pairs then routes through banded SimHash LSH +
+# exact in-bucket rescore instead.
+EMB_EXACT_MAX_ROWS = 20_000
 EMB_LSH_BANDS = 4
 
 
 def _normalized(emb: DataFrame) -> DataFrame:
     """(vec_id, u): unit-normalized embeddings — norms computed ONCE per
-    vector, so every downstream pair score is a single zip_with dot."""
+    vector, so every downstream pair score is a single zip_with dot.
+
+    The norm rides ``array_repeat`` rather than being referenced inside a
+    ``transform`` lambda: a lambda reference counts as a single static
+    use, so CollapseProject would inline the O(d) norm aggregate into the
+    per-element body — O(d^2) per vector. ``array_repeat(norm, d)``
+    evaluates the norm once per row. try_divide: a zero vector yields an
+    all-NULL u, whose pair scores go NULL and fall out of every
+    threshold filter (ANSI mode would otherwise raise DIVIDE_BY_ZERO)."""
+    e = F.col("embedding")
     return emb.select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double") / _norm(F.col("embedding"))).alias("u"),
+        F.zip_with(
+            e,
+            F.array_repeat(_norm(e), F.size(e)),
+            lambda x, nn: F.try_divide(x.cast("double"), nn),
+        ).alias("u"),
     )
 
 
@@ -126,9 +151,10 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= threshold, a < b).
 
-    Corpus-size-gated execution (one count action to decide; pass
-    ``n_rows`` when the caller already knows the corpus size — e.g. from
-    catalog stats at 100 TB — and the gating count scan is skipped):
+    Corpus-size-gated execution (one bounded count action to decide —
+    ``limit(max_exact_rows + 1).count()`` scans at most max+1 rows, never
+    the corpus; pass ``n_rows`` when the caller already knows the corpus
+    size — e.g. from catalog stats at 100 TB — and even that is skipped):
 
     - ``n <= max_exact_rows``: exact all-pairs self-join — complete recall,
       the small-corpus baseline the oracle checks.
@@ -141,7 +167,8 @@ def embedding_near_dup_pairs(
       all-pairs join is not an option. No crossJoin anywhere on this path.
     """
     normed = _normalized(emb)
-    if (emb.count() if n_rows is None else n_rows) <= max_exact_rows:
+    n = emb.limit(max_exact_rows + 1).count() if n_rows is None else n_rows
+    if n <= max_exact_rows:
         a = normed.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"))
         b = normed.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"))
         pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
@@ -193,7 +220,7 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_NEAR_DUP_SQL = f"""
 WITH n AS (
     SELECT vec_id,
-           list_transform(embedding, x -> x / sqrt(list_dot_product(embedding, embedding))) AS u
+           list_transform(embedding, x -> x / NULLIF(sqrt(list_dot_product(embedding, embedding)), 0)) AS u
     FROM embeddings
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -217,8 +244,7 @@ def _assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
         "vec_id",
         "embedding",
         "cell",
-        (_dot(F.col("embedding"), F.col("cvec"))
-         / (_norm(F.col("embedding")) * _norm(F.col("cvec")))).alias("ccos"),
+        _cosine(F.col("embedding"), F.col("cvec")).alias("ccos"),
     )
     wbest = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
     return (
@@ -303,8 +329,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "q",
             "cell",
-            (_dot(F.col("q"), F.col("cvec"))
-             / (_norm(F.col("q")) * _norm(F.col("cvec")))).alias("ccos"),
+            _cosine(F.col("q"), F.col("cvec")).alias("ccos"),
         )
         .withColumn(
             "__rn",
@@ -322,7 +347,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        F.round(_dot(F.col("q"), F.col("e")) / (_norm(F.col("q")) * _norm(F.col("e"))), 3).alias("cosine"),
+        F.round(_cosine(F.col("q"), F.col("e")), 3).alias("cosine"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -379,7 +404,7 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        F.round(_dot(F.col("q"), F.col("e")) / (_norm(F.col("q")) * _norm(F.col("e"))), 3).alias("cosine"),
+        F.round(_cosine(F.col("q"), F.col("e")), 3).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

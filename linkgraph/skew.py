@@ -54,7 +54,13 @@ def salted_agg(
     )
     drop = []
     if hot_keys is not None:
-        hot = hot_keys.select(F.col(key)).withColumn("__hot", F.lit(True))
+        # dedup defensively: a duplicate hot key would multiply its rows
+        # through the left join and silently double the aggregate (internal
+        # callers pass groupBy-derived sets, but the contract must not
+        # depend on that); the hot set is small by construction
+        hot = hot_keys.select(F.col(key)).dropDuplicates([key]).withColumn(
+            "__hot", F.lit(True)
+        )
         df = df.join(F.broadcast(hot), key, "left")
         salt_col = F.when(F.col("__hot").isNotNull(), salt_col).otherwise(F.lit(0))
         drop = ["__hot"]

@@ -139,7 +139,12 @@ def _sessionize_fn(gap_seconds: int):
         rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
         # robust to the pandas datetime resolution Arrow hands over (ns or us)
         ts_us = pd.Series(rows["ts"].values.astype("datetime64[us]").astype("int64"))
-        vals = rows["value"].astype("float64")
+        # NULL value -> NaN under Arrow; raw float addition would poison
+        # the session's value_sum to NaN forever, while the batch twin's
+        # F.sum SKIPS nulls — zero-fill matches it for every session with
+        # >=1 non-null value (an all-null session reads 0.0 here vs NULL
+        # in batch; the event still counts toward n_events in both)
+        vals = rows["value"].astype("float64").fillna(0.0)
 
         if state.exists:
             session_no, start_us, last_us, n_events, value_sum = state.get
@@ -233,7 +238,13 @@ def run_sessionize_stream_once(
         .start()
     )
     q.awaitTermination()
-    return spark.read.schema(SESSION_SCHEMA).parquet(out_dir)
+    # a first poll over a dir with no (new) event files runs zero
+    # micro-batches and the sink never creates out_dir — same guard the
+    # edge-ingest twin documents; an empty sessions frame, not
+    # PATH_NOT_FOUND
+    from linkgraph.io import read_parquet_or_empty
+
+    return read_parquet_or_empty(spark, out_dir, SESSION_SCHEMA)
 
 
 def run_windowed_counts_once(

@@ -812,3 +812,24 @@ def test_triangle_counts_delta_matches_batch_difference(spark, wiki_edges_df):
         v: full[v] - old.get(v, 0) for v in full if full[v] - old.get(v, 0) > 0
     }
     assert got == want and len(want) > 0
+
+
+def test_salted_agg_duplicate_hot_keys_not_double_counted(spark):
+    """A duplicated key row in ``hot_keys`` must not multiply that key's
+    input rows through the broadcast join (which would silently double
+    its sum) — the hot set is deduped inside salted_agg."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [(42, 1.0)] * 10 + [(7, 2.0)] * 3, "dst_id long, contrib double"
+    )
+    dup_hot = spark.createDataFrame([(42,), (42,), (42,)], "dst_id long")
+    out = {
+        r["dst_id"]: r["contrib"]
+        for r in salted_agg(
+            df, key="dst_id", value="contrib", agg="sum", hot_keys=dup_hot
+        ).collect()
+    }
+    assert out == {42: 10.0, 7: 6.0}

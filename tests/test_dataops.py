@@ -330,3 +330,36 @@ def test_multimodal_resize_and_frame_sampling_plumbing(spark):
     a = sorted((r["key"], r["frame_no"], bytes(r["frame"])) for r in got)
     b = sorted((r["key"], r["frame_no"], bytes(r["frame"])) for r in reparted.collect())
     assert a == b
+
+
+def test_similarity_queries_survive_zero_norm_embedding(spark, tmp_path):
+    """Spark 4 runs ANSI mode by default, where double/0.0 RAISES: one
+    all-zeros embedding (failed encode / null padding) must degrade to a
+    NULL cosine that threshold filters and top-k windows drop — never
+    kill the query — and must not perturb the well-defined rows."""
+    import os
+
+    from linkgraph.simsearch import (
+        embedding_near_dup_pairs,
+        q_knn_bruteforce,
+        q_knn_lsh,
+    )
+
+    rows = [(i, [float((i + j) % 5) - 2.0 for j in range(8)], "a") for i in range(12)]
+    rows.append((99, [0.0] * 8, "a"))  # the degenerate vector
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    sf = str(tmp_path)
+    emb.write.mode("overwrite").parquet(os.path.join(sf, "embeddings.parquet"))
+
+    knn = q_knn_bruteforce(spark, sf).toPandas()  # would raise DIVIDE_BY_ZERO unguarded
+    assert len(knn) > 0
+    assert 99 not in set(knn["neighbor_id"])  # NULL cosine sorts after real scores
+
+    lsh = q_knn_lsh(spark, sf).toPandas()
+    assert 99 not in set(lsh["neighbor_id"])
+
+    for path_rows in (None, 10**9):  # exact path AND banded-LSH path
+        dups = embedding_near_dup_pairs(emb, n_rows=path_rows).toPandas()
+        assert len(dups) > 0
+        assert 99 not in set(dups["vec_a"]) | set(dups["vec_b"])
+        assert dups["cosine"].notna().all()

@@ -136,3 +136,73 @@ def test_hostagg_refuses_to_guess_on_meta_mismatch(spark, tmp_path):
         for r in agg.host_edges().collect()
     }
     assert got4 == batch()
+
+
+def test_hostagg_crash_repair_and_reader_fallback(spark, tmp_path):
+    """Rename-aside crash safety: a crash stranded mid-swap must never
+    lose the roll-up. Three shapes: (1) full rebuild died between its two
+    renames (parts/ gone, complete pre-rebuild partials in parts.old) —
+    the READER serves parts.old and the next refresh repairs it; (2) an
+    incremental bucket swap died after moving a bucket aside — the next
+    refresh restores it; (3) an aside left behind NEXT TO a live bucket
+    (crash after the staged rename) is garbage-collected, not restored
+    over the newer live dir."""
+    import datetime
+    import shutil
+
+    from linkgraph.hostgraph import HostAgg, host_edges
+    from linkgraph.linkstore import LinkStore
+
+    ts = datetime.datetime(2024, 6, 1)
+    rows = [
+        (f"https://s{i % 5}.example/p{i}", ts, "fp0",
+         f"https://s{(i + 1) % 5}.example/p{i + 1}")
+        for i in range(40)
+    ]
+    store = LinkStore(spark, str(tmp_path / "links"), buckets=8)
+    spark.createDataFrame(
+        rows, "src_url string, warc_ts timestamp, crawl_fp string, dst_url string"
+    ).coalesce(1).write.parquet(f"{store.deltas_dir}/d=0")
+    store.merge()
+
+    want = {
+        (r["src_host"], r["dst_host"]): r["weight"]
+        for r in host_edges(store.current_pairs()).collect()
+    }
+    agg = HostAgg(spark, str(tmp_path / "hostagg"))
+    agg.refresh(store, [], expected_merged_through=-1)
+
+    def rolled():
+        return {
+            (r["src_host"], r["dst_host"]): r["weight"]
+            for r in agg.host_edges().collect()
+        }
+
+    # (1) full-rebuild crash between the two renames
+    shutil.move(agg.parts_dir, agg.old_dir)
+    assert rolled() == want != {}  # reader fallback, not an empty roll-up
+    r = agg.refresh(store, [], expected_merged_through=store.merged_through())
+    assert not r["rebuilt"]  # repair restored the state meta describes
+    assert rolled() == want
+
+    # (2) incremental bucket-swap crash: one bucket stranded aside
+    import os
+
+    names = [n for n in os.listdir(agg.parts_dir) if n.startswith("lb=")]
+    assert names
+    os.makedirs(agg.aside_dir, exist_ok=True)
+    shutil.move(
+        os.path.join(agg.parts_dir, names[0]),
+        os.path.join(agg.aside_dir, names[0]),
+    )
+    agg.refresh(store, [], expected_merged_through=store.merged_through())
+    assert rolled() == want
+
+    # (3) stale aside next to a live bucket: dropped, live wins
+    shutil.copytree(
+        os.path.join(agg.parts_dir, names[0]),
+        os.path.join(agg.aside_dir, names[0]),
+    )
+    agg.refresh(store, [], expected_merged_through=store.merged_through())
+    assert not os.path.exists(os.path.join(agg.aside_dir, names[0]))
+    assert rolled() == want

@@ -215,3 +215,71 @@ def test_edge_ingest_empty_first_poll_returns_empty_log(spark, tmp_path):
     assert [f.name for f in log.schema.fields] == [
         "src_url", "warc_ts", "crawl_fp", "dst_url",
     ]
+
+
+def test_sessionize_null_values_match_batch_and_empty_first_poll(spark, tmp_path):
+    """Two crash-path regressions for the sessionize stream:
+
+    1. A NULL ``value`` arrives as NaN under Arrow; the stateful fn must
+       match the batch twin's null-skipping ``F.sum`` (zero-fill), not
+       poison the session's value_sum to NaN forever.
+    2. A first poll over a dir with no event files runs zero micro-batches
+       and the sink never creates out_dir — that is an empty sessions
+       frame, not PATH_NOT_FOUND (same guard as the edge-ingest twin)."""
+    import datetime
+    import os
+
+    import pandas as pd
+
+    from linkgraph.streaming import (
+        run_sessionize_stream_once,
+        sessionize_events,
+    )
+
+    # empty first poll: nothing staged yet
+    stage = str(tmp_path / "events_nullv")
+    os.makedirs(stage, exist_ok=True)
+    out = str(tmp_path / "sessions_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    first = run_sessionize_stream_once(spark, stage, out, ckpt)
+    assert first.count() == 0
+    assert [f.name for f in first.schema.fields] == [
+        "user_id", "session_no", "session_start", "session_end",
+        "n_events", "value_sum",
+    ]
+
+    # user 1: session A has one NULL among real values; a >6h gap then
+    # closes it. user 2: an ALL-NULL session closed the same way (stream
+    # reads 0.0 where batch reads NULL — the one documented divergence).
+    t0 = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    s = lambda m: t0 + datetime.timedelta(minutes=m)
+    late = t0 + datetime.timedelta(hours=12)
+    rows = [
+        (1, 1, s(0), 2.5), (2, 1, s(10), None), (3, 1, s(20), 1.5),
+        (4, 2, s(0), None), (5, 2, s(5), None),
+        (6, 1, late, 9.0), (7, 2, late, 9.0),  # openers that close A
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    events.coalesce(1).write.mode("append").parquet(stage)
+    streamed = _sessions_pdf(run_sessionize_stream_once(spark, stage, out, ckpt))
+
+    batch = _sessions_pdf(sessionize_events(events))
+    last = batch.groupby("user_id")["session_no"].transform("max")
+    closed = batch[batch["session_no"] != last].reset_index(drop=True)
+    # null-skipping sum: 4.0 for user 1; the all-null session is NULL
+    # (NaN once in pandas)
+    assert list(closed["value_sum"])[0] == 4.0 and pd.isna(closed["value_sum"].iloc[1])
+
+    assert len(streamed) == 2
+    assert streamed["value_sum"].notna().all()  # no NaN poisoning
+    # session with >=1 non-null value: exact match with the batch twin
+    assert streamed.loc[streamed["user_id"] == 1, "value_sum"].item() == 4.0
+    # all-null session: 0.0 vs batch NULL is the documented divergence
+    assert streamed.loc[streamed["user_id"] == 2, "value_sum"].item() == 0.0
+    pd.testing.assert_frame_equal(
+        streamed.drop(columns=["value_sum"]),
+        closed.drop(columns=["value_sum"]),
+        check_dtype=False,
+    )
