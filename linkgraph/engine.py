@@ -122,6 +122,29 @@ def fs_mkdirs(spark: SparkSession, path_str: str) -> None:
     fs.mkdirs(p)
 
 
+def fs_restore_asides(
+    spark: SparkSession, live_dir: str, aside_dir: str, label: str
+) -> None:
+    """Complete any per-bucket rename-aside swap a crash interrupted — the
+    one repair protocol shared by every bucket store (LinkStore.latest/,
+    HostAgg.parts/). Invariant from the swap order (delete aside; live ->
+    aside; staged -> live; delete aside): for each ``lb=`` bucket EITHER
+    the live dir exists and is complete (its aside is stale residue —
+    drop it) OR only the aside holds the bucket's pre-swap content (the
+    swap died between its two renames — restore it; the caller's replay
+    redoes that bucket). A refused restore rename is raised, not
+    swallowed: continuing without the bucket would silently drop it."""
+    for name in fs_list_names(spark, aside_dir):
+        if not name.startswith("lb="):
+            continue
+        live = f"{live_dir}/{name}"
+        aside = f"{aside_dir}/{name}"
+        if fs_exists(spark, live):
+            fs_delete(spark, aside)
+        elif not fs_rename(spark, aside, live):
+            raise IOError(f"{label}: repair rename {aside} -> {live} failed")
+
+
 def fs_rename(spark: SparkSession, src_str: str, dst_str: str) -> bool:
     """Directory/file rename via the Hadoop FS API — atomic on HDFS and
     local filesystems (object stores degrade to copy). Returns False if

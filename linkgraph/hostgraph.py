@@ -215,7 +215,7 @@ class HostAgg:
         renames left that bucket's pre-swap content in ``parts.aside`` —
         restore it (stale at worst, and the meta mismatch forces the
         full rebuild right after)."""
-        from linkgraph.engine import fs_delete, fs_exists, fs_list_names, fs_rename
+        from linkgraph.engine import fs_exists, fs_rename, fs_restore_asides
 
         if not fs_exists(self.spark, self.parts_dir) and fs_exists(
             self.spark, self.old_dir
@@ -224,15 +224,7 @@ class HostAgg:
                 raise IOError(
                     f"HostAgg: repair rename {self.old_dir} -> {self.parts_dir} failed"
                 )
-        for name in fs_list_names(self.spark, self.aside_dir):
-            if not name.startswith("lb="):
-                continue
-            live = f"{self.parts_dir}/{name}"
-            aside = f"{self.aside_dir}/{name}"
-            if fs_exists(self.spark, live):
-                fs_delete(self.spark, aside)
-            elif not fs_rename(self.spark, aside, live):
-                raise IOError(f"HostAgg: repair rename {aside} -> {live} failed")
+        fs_restore_asides(self.spark, self.parts_dir, self.aside_dir, "HostAgg")
 
     def _read_meta(self) -> dict | None:
         from linkgraph.engine import fs_exists, fs_read_text

@@ -490,8 +490,11 @@ def link_store_components_poll(
         # a fixpoint: commit it (best labels so far, and the stamp keeps
         # the store watermark honest) but mark it non-warmable — the next
         # poll must cold-start, not propagate from a half-converged seed
-        changed_last = res.metrics[-1].get("changed") if res.metrics else 0
-        converged = int(changed_last or 0) == 0
+        # empty metrics means the loop body never ran (max_iters=0): zero
+        # propagation was VERIFIED, so the committed labels (singleton
+        # state0 on a cold start) must not be stamped as a warmable
+        # fixpoint — default non-converged, not converged
+        converged = bool(res.metrics) and int(res.metrics[-1].get("changed") or 0) == 0
         state = res.state.select("id", "comp")
         if res.iterations == 0:
             # same lazy-plan-over-replaced-files hazard as the rank loop

@@ -62,8 +62,13 @@ is swapped, so any crash simply replays the merge; the one non-idempotent
 window — a bucket dir mid-rename — is covered by the rename-aside
 protocol plus ``_repair_asides`` (at most one bucket can be mid-swap, and
 its complete pre-swap content sits in ``latest.aside`` until the swap
-completes). Losing ``_meta`` entirely degrades to re-merging every
-retained delta: wasteful, never wrong.
+completes). ``_meta`` itself is staged (full JSON at ``.tmp`` before the
+live file is touched) and ``_read_meta`` heals the delete-done-rename-not
+window from the staged copy, so the bucket count survives any crash;
+losing ``_meta`` AND its stage (out-of-band damage) degrades to
+re-merging every retained delta under the caller's bucket count — and the
+constructor refuses outright when on-disk ``lb=`` indices prove that
+count wrong (a mis-bucketed merge would silently resurrect stale rows).
 
 Tombstone rows (``dst_url IS NULL`` — a re-crawled page that died or lost
 all links) are RETAINED in ``latest/``: they must keep winning the max so
@@ -85,6 +90,7 @@ from linkgraph.engine import (
     fs_mkdirs,
     fs_read_text,
     fs_rename,
+    fs_restore_asides,
     fs_write_text,
 )
 from linkgraph.io import read_parquet_or_empty
@@ -148,6 +154,27 @@ class LinkStore:
                     "when B is a power of two"
                 )
             self.buckets = b
+            # no meta, not even a recoverable .tmp: if merged bucket dirs
+            # exist on disk anyway (meta deleted out-of-band), the true
+            # count is unknowable. When any lb index >= b the mismatch is
+            # PROVEN — refuse rather than let merges mis-bucket (a src
+            # re-hashed mod b would get fresh winners in one dir while its
+            # stale rows sit unread in another, and current_pairs() would
+            # return both). Indices all < b can still be wrong in theory,
+            # but the only internal path to missing-meta is the rename
+            # window that _read_meta now heals; this guard is for
+            # external damage.
+            live = [
+                int(n.split("=", 1)[1])
+                for n in fs_list_names(self.spark, self.latest_dir)
+                if n.startswith("lb=")
+            ]
+            if live and max(live) >= b:
+                raise ValueError(
+                    f"LinkStore at {self.root} has merged bucket dirs up to "
+                    f"lb={max(live)} but no _meta; buckets={b} is provably "
+                    "wrong and the on-disk count is unknowable — refusing"
+                )
 
     @classmethod
     def open_or_create(
@@ -160,15 +187,37 @@ class LinkStore:
         refuse to open its own store after the first split. Before the
         first merge the count has no on-disk footprint (deltas carry no
         lb), so "exists" is keyed on ``_meta`` — written by every merge
-        and every split."""
-        exists = fs_exists(spark, f"{root.rstrip('/')}/_meta")
+        and every split — or its staged ``.tmp`` (the crash window that
+        ``_read_meta`` heals must adopt, not re-create)."""
+        meta = f"{root.rstrip('/')}/_meta"
+        exists = fs_exists(spark, meta) or fs_exists(spark, meta + ".tmp")
         return cls(spark, root, buckets=None if exists else buckets)
 
     # ------------------------------------------------------------- metadata
     def _read_meta(self) -> dict | None:
-        if not fs_exists(self.spark, self.meta_path):
-            return None
-        return json.loads(fs_read_text(self.spark, self.meta_path))
+        if fs_exists(self.spark, self.meta_path):
+            return json.loads(fs_read_text(self.spark, self.meta_path))
+        # crash-window recovery: _write_meta stages the COMPLETE JSON at
+        # .tmp before deleting the live file, so "meta missing, tmp
+        # present" is exactly the delete-done-rename-not window — finish
+        # the interrupted rename and carry on. Without this, a split
+        # store re-opened through open_or_create would fall back to the
+        # caller's creation-time bucket count and every later merge would
+        # mis-bucket (stale rows resurrected from dirs it never reads).
+        # A truncated tmp can only coexist with a LIVE meta (the staged
+        # write strictly precedes the delete), so this branch never sees
+        # partial JSON from our own protocol; the parse guard is for
+        # out-of-band damage only.
+        tmp = self.meta_path + ".tmp"
+        if fs_exists(self.spark, tmp):
+            try:
+                meta = json.loads(fs_read_text(self.spark, tmp))
+            except ValueError:
+                return None
+            if isinstance(meta, dict) and "buckets" in meta and "merged_through" in meta:
+                fs_rename(self.spark, tmp, self.meta_path)  # best-effort heal
+                return meta
+        return None
 
     def _write_meta(self, merged_through: int) -> None:
         # staged: a crash mid-write must not leave truncated JSON. Losing
@@ -227,15 +276,7 @@ class LinkStore:
         complete (aside is stale residue — drop it) OR only the aside holds
         the bucket's pre-swap content (the swap died between its two
         renames — restore it; the merge will redo that bucket)."""
-        for name in fs_list_names(self.spark, self.aside_dir):
-            if not name.startswith("lb="):
-                continue
-            live = f"{self.latest_dir}/{name}"
-            aside = f"{self.aside_dir}/{name}"
-            if fs_exists(self.spark, live):
-                fs_delete(self.spark, aside)
-            elif not fs_rename(self.spark, aside, live):
-                raise IOError(f"LinkStore: repair rename {aside} -> {live} failed")
+        fs_restore_asides(self.spark, self.latest_dir, self.aside_dir, "LinkStore")
 
     def _read_latest(self, touched: list[int] | None = None) -> DataFrame:
         df = read_parquet_or_empty(self.spark, self.latest_dir, _LATEST_SCHEMA)

@@ -698,3 +698,52 @@ def test_components_poll_never_warms_from_nonconverged_labels(spark, tmp_path):
         spark, stage, state, max_iters=200, partitions=8, buckets=8
     )
     assert m3["warm_started"] and m3["converged"]
+
+
+def test_components_poll_zero_iters_never_stamps_converged(spark, tmp_path):
+    """A poll run with ``max_iters=0`` commits state0 — every vertex its
+    own singleton component — with EMPTY engine metrics (the loop body
+    never ran). Defaulting empty metrics to "changed == 0" would stamp
+    that labeling ``converged: true``; every later grow-only poll would
+    then pass all three warm gates and frontier-restrict away the old
+    vertices, freezing the singletons in as the 'converged' output
+    forever. Empty metrics must stamp NOT converged, and the next real
+    poll must cold-start and reach the true fixpoint."""
+    import datetime as dt
+
+    from linkgraph.incremental import link_store_components_poll
+    from linkgraph.io import read_state_meta
+    from linkgraph.synth import gen_pages, page_url
+
+    stage = str(tmp_path / "pages")
+    state = str(tmp_path / "state")
+    gen_pages(spark, 40).coalesce(1).write.mode("overwrite").parquet(stage)
+    m0 = link_store_components_poll(
+        spark, stage, state, max_iters=0, partitions=8, buckets=8
+    )
+    assert m0["edges"] > 0 and m0["iterations"] == 0
+    assert not m0["converged"], "zero-propagation poll claimed convergence"
+    meta = read_state_meta(spark, f"{state}/comps")
+    assert meta is not None and meta.get("converged") is False
+
+    # grow-only append: watermark matches, replaced_srcs == 0 — only the
+    # stamp stands between the next poll and warm-starting from singletons
+    extra = spark.createDataFrame(
+        [
+            (
+                page_url(900),
+                dt.datetime(2024, 6, 6, 12, 0, 0),
+                f'<html><body><a href="{page_url(0)}">n</a></body></html>'.encode(),
+                "",
+                "en",
+            )
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    extra.coalesce(1).write.mode("append").parquet(stage)
+    m1 = link_store_components_poll(
+        spark, stage, state, max_iters=200, partitions=8, buckets=8
+    )
+    assert m1["replaced_srcs"] == 0
+    assert not m1["warm_started"], "warm-started from an unverified state0"
+    assert m1["converged"] and m1["iterations"] > 0

@@ -377,3 +377,66 @@ def test_linkstore_factor_split_and_governor(spark, tmp_path):
     # reopen adopts the grown count; a later merge works at the new count
     reopened = LinkStore(spark, str(tmp_path / "links"), buckets=None)
     assert reopened.buckets == 4 * BUCKETS
+
+
+def test_linkstore_meta_crash_window_heals_and_mismatch_refuses(spark, tmp_path):
+    """``_write_meta``'s delete-then-rename window (staged ``.tmp``
+    present, live ``_meta`` gone) must not lose the bucket count: a split
+    store re-opened through ``open_or_create`` has to ADOPT the split
+    count from the stage, not fall back to the caller's creation count —
+    that fallback would re-bucket every later merge mod the wrong B,
+    writing fresh winners to one dir while stale rows sit unread in
+    another, and ``current_pairs()`` would return both. With the stage
+    ALSO gone (out-of-band damage) the constructor must refuse when
+    on-disk ``lb=`` indices prove the requested count wrong."""
+    import pytest
+
+    from linkgraph.engine import (
+        fs_delete,
+        fs_exists,
+        fs_list_names,
+        fs_read_text,
+        fs_write_text,
+    )
+    from linkgraph.linkstore import LinkStore
+    from linkgraph.synth import gen_pages
+
+    stage = str(tmp_path / "pages")
+    root = str(tmp_path / "links")
+    store = LinkStore(spark, root, buckets=BUCKETS)
+    _write_poll(spark, gen_pages(spark, 60), stage, "overwrite")
+    store.ingest(stage)
+    store.merge()
+    store.split()  # BUCKETS -> 2*BUCKETS
+    mt = store.merged_through()
+    view = {(r["src_url"], r["dst_url"]) for r in store.current_pairs().collect()}
+    # precondition for the refusal half below: some bucket index proves
+    # the creation count wrong (deterministic for gen_pages(60))
+    live_idx = [
+        int(n.split("=", 1)[1])
+        for n in fs_list_names(spark, store.latest_dir)
+        if n.startswith("lb=")
+    ]
+    assert max(live_idx) >= BUCKETS, "synth data no longer touches high buckets"
+
+    # simulate the crash: the staged copy holds the latest JSON, the live
+    # file is already deleted, the rename never ran
+    fs_write_text(spark, store.meta_path + ".tmp", fs_read_text(spark, store.meta_path))
+    fs_delete(spark, store.meta_path)
+
+    healed = LinkStore.open_or_create(spark, root, buckets=BUCKETS)
+    assert healed.buckets == 2 * BUCKETS, "crash window lost the split count"
+    assert healed.merged_through() == mt
+    assert fs_exists(spark, healed.meta_path), "stage not healed into place"
+    assert not fs_exists(spark, healed.meta_path + ".tmp")
+    assert {
+        (r["src_url"], r["dst_url"]) for r in healed.current_pairs().collect()
+    } == view
+
+    # out-of-band damage: meta AND stage gone; the creation count is now
+    # provably wrong (lb= dirs >= BUCKETS exist) -> refuse, don't guess
+    fs_delete(spark, healed.meta_path)
+    with pytest.raises(ValueError, match="provably"):
+        LinkStore(spark, root, buckets=BUCKETS)
+    # the true count still opens (degrades to re-merging retained deltas)
+    assert LinkStore(spark, root, buckets=2 * BUCKETS).buckets == 2 * BUCKETS
