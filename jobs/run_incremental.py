@@ -98,10 +98,16 @@ def main() -> None:
                 buckets=args.link_store_buckets, **kwargs,
             )
         elif args.product == "components":
+            # --iters unset: let the poll's own default (200 WCC rounds)
+            # apply — PR_MAX_ITERS is the RANK kernel's budget, and
+            # silently halving the component-propagation budget makes
+            # long-diameter graphs exhaust every poll without converging
+            # (each committed non-converged, each next poll a cold start)
+            comp_kw = {} if args.iters is None else {"max_iters": args.iters}
             row = link_store_components_poll(
                 spark, args.pages, args.state,
-                max_iters=kwargs["max_iters"], partitions=args.partitions,
-                buckets=args.link_store_buckets,
+                partitions=args.partitions,
+                buckets=args.link_store_buckets, **comp_kw,
             )
         elif args.product == "triangles":
             row = link_store_triangles_poll(
