@@ -161,6 +161,11 @@ def pagerank(
     partitions = resolve_partitions(spark, edges, partitions)
     if weight_col is not None and kernel not in ("sql",):
         raise ValueError("weight_col is supported on the sql kernel")
+    if salted and kernel not in ("sql",):
+        # the csr/sem kernels carry their own skew mitigation (hub
+        # vertex-cut); silently ignoring the flag would make a salted-vs-
+        # plain comparison on those kernels measure two identical runs
+        raise ValueError("salted is supported on the sql kernel")
     # Loop-invariant edge table: hash-partition by the gather key ONCE,
     # sorted within partitions, and persist (build.gather_layout). Every
     # superstep's gather join then reuses the layout with no edge-side
@@ -185,6 +190,11 @@ def pagerank(
 
     tmp_layout = None
     hot = None
+    # loop-invariant frames persisted by the kernel factories (hub sets,
+    # routed edge partitions) — released in the finally so repeated ranks
+    # in one long-lived app (poll loops, bench sweeps) don't accumulate
+    # one orphaned cache per call
+    pins: list[DataFrame] = []
     try:
         # "csr" (the cogrouped-applyInPandas V2 kernel) pays a full O(E_p)
         # Arrow transfer of the edge block every superstep; the semi-external
@@ -214,7 +224,8 @@ def pagerank(
             step = _make_sql_step(edges, damping, salted, personalized, hot, weight_col)
         elif kernel == "csr_cogroup":
             step = _make_csr_step(
-                spark, edges, damping, partitions, hub_threshold, personalized
+                spark, edges, damping, partitions, hub_threshold, personalized,
+                pins=pins,
             )
         elif kernel == "sem":
             layout_dir, tmp_layout = _resolve_sem_layout_dir(spark, layout_dir)
@@ -223,10 +234,21 @@ def pagerank(
                 personalized, reuse_layout=reuse_layout,
                 # a run-private temp layout can never be reused — skip the
                 # O(E) fingerprint action + manifest for it
-                manifest=tmp_layout is None,
+                manifest=tmp_layout is None, pins=pins,
             )
         else:
             raise ValueError(f"unknown kernel {kernel!r}")
+
+        if kernel != "sql":
+            # the gather-layout edge cache only feeds setup here (routing,
+            # layout write/fingerprint, state0) — csr supersteps read the
+            # separately-persisted edges_parts, sem supersteps read the
+            # on-disk image. Holding an O(E) cache through the whole loop
+            # is pure storage squatting; cut state0's lineage from it (one
+            # O(V) job over the still-warm cache) and release it now. The
+            # finally's unpersist is then a no-op.
+            state0 = state0.localCheckpoint(eager=True)
+            edges.unpersist()
 
         # eps <= 0 means "run exactly max_iters": skip the per-superstep
         # convergence action entirely — one fewer Spark job per superstep,
@@ -242,6 +264,8 @@ def pagerank(
         edges.unpersist()
         if hot is not None:
             hot.unpersist()
+        for df in pins:
+            df.unpersist()
         if tmp_layout is not None:
             import shutil
 
@@ -272,17 +296,26 @@ def _make_sql_step(edges: DataFrame, damping: float, salted: bool,
             (F.col("rank") / F.col("out_deg")).alias("contrib"),
         )
         joined = edges.join(contribs, "src_id")
+        # salted runs keep src_id through the gather: the salt must come
+        # from it, not from the contrib VALUE (salted_agg's default) —
+        # values collide whenever in-neighbors share an out-degree class,
+        # guaranteed on superstep 1 (uniform init ranks), where a hub fed
+        # by outdeg-1 pages would land its whole in-edge set in ONE salt
+        # bucket, reproducing exactly the straggler salting exists to
+        # split. src_id is unique per row within a dst group, so buckets
+        # spread uniformly in every superstep.
+        keep = ("src_id",) if salted else ()
         if weight_col is not None:
             # weighted gather: r(u)/W(u) scaled by the edge weight w(u,v)
             gathered = joined.select(
-                "dst_id", (F.col("contrib") * F.col(weight_col)).alias("contrib")
+                *keep, "dst_id", (F.col("contrib") * F.col(weight_col)).alias("contrib")
             )
         else:
-            gathered = joined.select("dst_id", "contrib")
+            gathered = joined.select(*keep, "dst_id", "contrib")
         if salted:
             msgs = salted_agg(
                 gathered, key="dst_id", value="contrib", agg="sum",
-                buckets=SALT_BUCKETS, hot_keys=hot_dsts,
+                buckets=SALT_BUCKETS, hot_keys=hot_dsts, salt_from="src_id",
             ).withColumnRenamed("contrib", "sum_contrib")
         else:
             msgs = gathered.groupBy("dst_id").agg(F.sum("contrib").alias("sum_contrib"))
@@ -356,15 +389,20 @@ def _csr_spmv_factory(damping: float, token: int):
 
 
 def _routed_edges(
-    edges: DataFrame, partitions: int, hub_threshold: int
+    edges: DataFrame, partitions: int, hub_threshold: int,
+    pins: list | None = None,
 ) -> tuple[DataFrame, DataFrame, int]:
     """(edges_parts, hubs, n_hubs): loop-invariant edge routing — normal
     src -> part by id hash, hub src -> vertex-cut across partitions by
-    hash(dst_id)."""
+    hash(dst_id). Persisted frames are appended to ``pins`` so the
+    caller's finally can release them — a poll loop / bench sweep that
+    runs many ranks in one app must not leak a cache per call."""
     out_deg = edges.groupBy(F.col("src_id").alias("id")).agg(
         F.count(F.lit(1)).alias("deg")
     )
     hubs = out_deg.filter(F.col("deg") > hub_threshold).select("id").persist()
+    if pins is not None:
+        pins.append(hubs)
     n_hubs = hubs.count()
     hub_src = hubs.withColumnRenamed("id", "src_id").withColumn("__hub", F.lit(True))
     edges_parts = (
@@ -406,9 +444,14 @@ def _make_csr_step(
     partitions: int,
     hub_threshold: int,
     personalized: list[int] | None = None,
+    pins: list | None = None,
 ):
-    edges_parts, hubs, n_hubs = _routed_edges(edges, partitions, hub_threshold)
+    edges_parts, hubs, n_hubs = _routed_edges(
+        edges, partitions, hub_threshold, pins=pins
+    )
     edges_parts = edges_parts.repartition(partitions, "part").persist()
+    if pins is not None:
+        pins.append(edges_parts)
     edges_parts.count()
     parts_df = spark.range(partitions).select(F.col("id").cast("int").alias("part"))
     # per-run cache token (driver-side monotonic counter, serialized into
@@ -737,11 +780,14 @@ def _sem_layout(
     layout_dir: str,
     reuse_layout: bool = False,
     manifest: bool = True,
+    pins: list | None = None,
 ):
     """Build (or validate+reuse) the sem edge image; returns the
     loop-invariant routing artifacts shared by the rank and delta sem
     kernels: (hubs, n_hubs, edge_parts, parts_df, token, disk_key)."""
-    edges_parts, hubs, n_hubs = _routed_edges(edges, partitions, hub_threshold)
+    edges_parts, hubs, n_hubs = _routed_edges(
+        edges, partitions, hub_threshold, pins=pins
+    )
     # the graph "image": written once, hive-partitioned by block id — on a
     # cluster this lives on shared storage and each executor pulls only the
     # blocks it serves (then caches them in its Python workers). Routing
@@ -834,6 +880,18 @@ def _resolve_sem_layout_dir(
     plain filesystem IO, so outside local mode a caller-provided dir must
     be shared storage — warn, don't guess."""
     if layout_dir is None:
+        if not spark.sparkContext.master.startswith("local"):
+            # fail fast at entry: a run-private DRIVER tempdir is not
+            # reachable from executors on a real cluster, so the run
+            # would pay the full O(E) layout write and then die at
+            # superstep 1 with a worker-side FileNotFoundError (the
+            # csr->sem reroute already guards this case; explicit
+            # kernel='sem' must get the same protection)
+            raise ValueError(
+                "kernel='sem' on a non-local master requires layout_dir "
+                "on shared storage reachable from every executor; the "
+                "implicit driver-local tempdir is not"
+            )
         import tempfile
 
         tmp = tempfile.mkdtemp(prefix="linkgraph_sem_")
@@ -860,10 +918,11 @@ def _make_sem_step(
     personalized: list[int] | None = None,
     reuse_layout: bool = False,
     manifest: bool = True,
+    pins: list | None = None,
 ):
     hubs, n_hubs, edge_parts, parts_df, token, disk_key = _sem_layout(
         spark, edges, partitions, hub_threshold, layout_dir,
-        reuse_layout=reuse_layout, manifest=manifest,
+        reuse_layout=reuse_layout, manifest=manifest, pins=pins,
     )
     kernel = _sem_spmv_factory(damping, token, layout_dir, edge_parts, disk_key)
 
@@ -1063,6 +1122,7 @@ def pagerank_delta(
         )
 
     tmp_layout = None
+    pins: list[DataFrame] = []  # same release discipline as pagerank()
     try:
         if kernel == "sql":
 
@@ -1082,6 +1142,7 @@ def pagerank_delta(
             hubs, n_hubs, edge_parts, parts_df, token, disk_key = _sem_layout(
                 spark, edges, partitions, hub_threshold, layout_dir,
                 reuse_layout=reuse_layout, manifest=tmp_layout is None,
+                pins=pins,
             )
             sem_kernel = _sem_delta_factory(
                 damping, token, layout_dir, edge_parts, disk_key
@@ -1105,6 +1166,13 @@ def pagerank_delta(
         else:
             raise ValueError(f"unknown kernel {kernel!r}")
 
+        if kernel == "sem":
+            # same as pagerank(): sem supersteps read the on-disk image,
+            # not the gather-layout cache — cut state0's lineage and
+            # release the O(E) cache before the loop
+            state0 = state0.localCheckpoint(eager=True)
+            edges.unpersist()
+
         stop = ObservedStop(
             metrics=lambda: {
                 "active": F.sum((F.abs(F.col("delta")) > threshold).cast("long"))
@@ -1116,6 +1184,8 @@ def pagerank_delta(
         )
     finally:
         edges.unpersist()
+        for df in pins:
+            df.unpersist()
         if tmp_layout is not None:
             import shutil
 

@@ -233,6 +233,10 @@ class SuperstepEngine:
         self.spark = spark
         self.ckpt_dir = ckpt_dir
         self.checkpoint_every = checkpoint_every
+        # remember whether the metrics file is ours (derived from
+        # ckpt_dir) or caller-owned: only the default file is rotated by
+        # a fresh run — an explicit path may be a deliberately shared log
+        self._metrics_is_default = metrics_path is None and ckpt_dir is not None
         self.metrics_path = metrics_path or (
             os.path.join(ckpt_dir, "metrics.jsonl") if ckpt_dir else None
         )
@@ -362,9 +366,19 @@ class SuperstepEngine:
             for name in fs_list_names(self.spark, self.ckpt_dir):
                 if re.fullmatch(r"it=\d+", name):
                     fs_delete(self.spark, os.path.join(self.ckpt_dir, name))
+            # the same refuse-stale rule for the telemetry file beside the
+            # it=N dirs: appending a fresh run to the previous run's
+            # metrics.jsonl would interleave duplicate iteration numbers
+            # with contradictory timings. Only the DEFAULT (ckpt_dir-
+            # derived) file is ours to rotate; an explicit metrics_path
+            # may be a deliberately shared log.
+            if self._metrics_is_default and "://" not in self.metrics_path:
+                try:
+                    os.unlink(self.metrics_path)
+                except OSError:
+                    pass
 
         metrics: list[dict] = []
-        iteration = start_iter
         # Superstep plans are identical every iteration and stage sizes are
         # known after iteration 1 — AQE's per-iteration replanning is pure
         # overhead inside the loop (measured ~2-3x per-superstep latency).

@@ -269,3 +269,50 @@ def test_scc_phase_resume_matches_uninterrupted(spark, tmp_path):
     # and a FRESH run with the same dir purges old phases, then completes
     fresh = scc(spark, other, ckpt_dir=ckpt)
     assert {r["id"]: r["comp"] for r in fresh.state.collect()} == {7: 7, 8: 7}
+
+
+def test_fresh_run_rotates_default_metrics_file(spark, tmp_path):
+    """A fresh run over a reused ckpt_dir deletes stale it=N checkpoint
+    dirs; the telemetry JSONL beside them must follow the same
+    refuse-stale rule — appending run 2 after run 1 would interleave
+    duplicate iteration numbers with contradictory timings, so any
+    consumer attributes run 1's supersteps to run 2. Only the DEFAULT
+    (ckpt_dir-derived) file is rotated: an explicit metrics_path may be a
+    deliberately shared log and is left append-only."""
+    from pyspark.sql import functions as F
+
+    def step(state, it):
+        return state.withColumn("rank", F.col("rank") + F.lit(1.0))
+
+    def lines(path):
+        with open(path) as f:
+            return [json.loads(ln) for ln in f if ln.strip()]
+
+    ckpt = str(tmp_path / "ckpt")
+    state0 = spark.range(10).select("id", F.lit(0.0).alias("rank"))
+    for _ in range(2):  # second fresh run must NOT append after the first
+        eng = SuperstepEngine(spark, ckpt_dir=ckpt, checkpoint_every=10)
+        eng.run(state0, step, max_iters=3)
+    recs = lines(os.path.join(ckpt, "metrics.jsonl"))
+    assert [r["iteration"] for r in recs] == [1, 2, 3], recs
+
+    # explicit metrics_path: appends across runs, never rotated
+    shared = str(tmp_path / "shared.jsonl")
+    for _ in range(2):
+        eng = SuperstepEngine(
+            spark, ckpt_dir=str(tmp_path / "ckpt2"), metrics_path=shared,
+            checkpoint_every=10,
+        )
+        eng.run(state0, step, max_iters=2)
+    assert [r["iteration"] for r in lines(shared)] == [1, 2, 1, 2]
+
+
+def test_pagerank_rejects_salted_on_non_sql_kernels(spark, wiki_edges_df):
+    """salted=True only has an implementation on the sql kernel; the
+    csr/sem kernels carry their own skew mitigation (hub vertex-cut).
+    Silently ignoring the flag would make a salted-vs-plain benchmark on
+    those kernels measure two identical runs — refuse instead."""
+    import pytest
+
+    with pytest.raises(ValueError, match="salted"):
+        pagerank(spark, wiki_edges_df, max_iters=1, kernel="csr_cogroup", salted=True)
