@@ -34,7 +34,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linkgraph.build import gather_layout, resolve_partitions, vertex_ids_from_edges
+from linkgraph.build import gather_layout, resolve_partitions, reverse_edges, vertex_ids_from_edges
 from linkgraph.engine import RunResult, SuperstepEngine, make_changed_stop
 
 _changed_stop = make_changed_stop("frontier")
@@ -62,10 +62,7 @@ def betweenness(
         .distinct()
     )
     fwd = gather_layout(e0, partitions)
-    rev = gather_layout(
-        e0.select(F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")),
-        partitions,
-    )
+    rev = gather_layout(reverse_edges(e0), partitions)
     ids = vertices.select("id") if vertices is not None else vertex_ids_from_edges(edges)
     # deduped: a repeated pivot would double its (pivot, id) state rows,
     # compounding sigma every BFS level (2^depth inflation, silently wrong)

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linkgraph.build import gather_layout, resolve_partitions, vertex_ids_from_edges
+from linkgraph.build import gather_layout, resolve_partitions, reverse_edges, vertex_ids_from_edges
 from linkgraph.conventions import HITS_ITERS
 from linkgraph.engine import RunResult, SuperstepEngine
 
@@ -64,12 +64,7 @@ def hits(
     engine = engine or SuperstepEngine(spark)
     partitions = resolve_partitions(spark, edges, partitions)
     fwd = gather_layout(edges, partitions)
-    rev = gather_layout(
-        edges.select(
-            F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
-        ),
-        partitions,
-    )
+    rev = gather_layout(reverse_edges(edges), partitions)
     ids = vertices.select("id") if vertices is not None else vertex_ids_from_edges(edges)
     state0 = ids.select(
         "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")

@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linkgraph.build import gather_layout, resolve_partitions, vertex_ids_from_edges
+from linkgraph.build import gather_layout, resolve_partitions, reverse_edges, vertex_ids_from_edges
 from linkgraph.engine import RunResult, SuperstepEngine, make_changed_stop
 
 _changed_stop = make_changed_stop("changed")
@@ -93,10 +93,7 @@ def scc(
         .distinct()
     )
     fwd = gather_layout(e0, partitions)  # keyed on src_id (forward gather)
-    rev = gather_layout(
-        e0.select(F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")),
-        partitions,
-    )
+    rev = gather_layout(reverse_edges(e0), partitions)
     ids = vertices.select("id") if vertices is not None else vertex_ids_from_edges(edges)
 
     assigned = spark.createDataFrame([], "id long, comp long")

@@ -128,10 +128,18 @@ def wcc(
         frontier = state.filter(F.col("changed")).select(
             F.col("id").alias("src_id"), F.col("comp").alias("src_comp")
         )
-        gathered = sym.join(frontier, "src_id").select("dst_id", "src_comp")
+        # salted runs keep src_id: the salt must come from it, not from
+        # the comp VALUE (salted_agg's default) — comp labels COLLAPSE as
+        # components converge, so a hub dst's messages would all hash into
+        # one salt bucket by the late supersteps, reproducing exactly the
+        # straggler salting exists to split (same fix as the PageRank sql
+        # kernel; src_id is unique per row within a dst group)
+        keep = ("src_id",) if salted else ()
+        gathered = sym.join(frontier, "src_id").select(*keep, "dst_id", "src_comp")
         if salted:
             msgs = salted_agg(
-                gathered, key="dst_id", value="src_comp", agg="min", hot_keys=hot
+                gathered, key="dst_id", value="src_comp", agg="min", hot_keys=hot,
+                salt_from="src_id",
             ).withColumnRenamed("src_comp", "cand")
         else:
             msgs = gathered.groupBy("dst_id").agg(F.min("src_comp").alias("cand"))

@@ -329,9 +329,7 @@ def symmetrized_gather_layout(edges: DataFrame, partitions: int) -> DataFrame:
     composition shuffles once for the distinct (keyed on both columns)
     and AGAIN for the gather key. Same rows, same layout contract as
     gather_layout (caller owns the cache)."""
-    rev = edges.select(
-        F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
-    )
+    rev = reverse_edges(edges)
     return (
         edges.select("src_id", "dst_id")
         .unionByName(rev)
@@ -343,12 +341,21 @@ def symmetrized_gather_layout(edges: DataFrame, partitions: int) -> DataFrame:
     )
 
 
+def reverse_edges(edges: DataFrame) -> DataFrame:
+    """(src, dst) -> (dst, src): the single definition of the edge
+    reversal used by symmetrize and the transpose-graph algorithms
+    (HITS authority step, SCC backward sweep, Brandes dependency
+    accumulation) — one place to change if the contract ever grows
+    (e.g. carrying a weight column through)."""
+    return edges.select(
+        F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
+    )
+
+
 def symmetrize(edges: DataFrame) -> DataFrame:
     """Undirected simple graph as directed pairs in both directions
     (input to WCC / LP / TC — SURVEY.md U1)."""
-    rev = edges.select(
-        F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
-    )
+    rev = reverse_edges(edges)
     return (
         edges.unionByName(rev)
         .filter(F.col("src_id") != F.col("dst_id"))

@@ -76,33 +76,9 @@ def salted_agg(
     return partial.groupBy(key).agg(second(value).alias(value))
 
 
-def split_hub_sources(
-    edges: DataFrame,
-    threshold: int,
-    n_cuts: int,
-) -> tuple[DataFrame, DataFrame]:
-    """Vertex-cut: split edge lists of srcs with outdeg > threshold.
-
-    Returns (edges_with_cut, hub_ids):
-    - ``edges_with_cut``: edges + ``cut`` column — 0 for normal srcs,
-      ``pmod(xxhash64(dst_id), n_cuts)`` for hub srcs (deterministic).
-    - ``hub_ids``: DataFrame(id) of hub sources (small; broadcastable).
-    """
-    hubs = (
-        edges.groupBy(F.col("src_id").alias("id"))
-        .agg(F.count(F.lit(1)).alias("out_deg"))
-        .filter(F.col("out_deg") > threshold)
-        .select("id")
-    )
-    with_cut = edges.join(
-        F.broadcast(hubs.withColumnRenamed("id", "src_id").withColumn("__is_hub", F.lit(True))),
-        "src_id",
-        "left",
-    ).withColumn(
-        "cut",
-        F.when(
-            F.col("__is_hub").isNotNull(),
-            F.pmod(F.xxhash64(F.col("dst_id")), F.lit(n_cuts)),
-        ).otherwise(F.lit(0)).cast("int"),
-    ).drop("__is_hub")
-    return with_cut, hubs
+# NOTE: vertex-cut hub splitting has exactly one implementation, inside
+# the csr/sem kernels' routing (pagerank._routed_edges: hub edges to
+# per-cut partitions by hash(dst_id), hub state replicated per cut). A
+# standalone split_hub_sources() duplicate used to live here with zero
+# callers and zero tests — deleted so the cut-assignment rule cannot
+# silently diverge between two copies.

@@ -161,7 +161,19 @@ def _sessionize_fn(gap_seconds: int):
                     session_no + 1, t, t, 1, v,
                 )
             else:
-                last_us, n_events, value_sum = t, n_events + 1, value_sum + v
+                # min/max, not assignment: the watermark admits rows up to
+                # WATERMARK late, and a cross-batch late row (t < last_us)
+                # must not REGRESS the session bounds — a regressed last_us
+                # both emits an invalid interval (session_end < start) and
+                # mis-computes the next row's gap (an on-time follow-up
+                # would falsely close the session). Late rows are absorbed
+                # with clamped bounds: counts/sums stay exact; only the
+                # gap-split decision can differ from the batch twin, which
+                # sees globally sorted data (see sessionize_stream's
+                # docstring for the precise guarantee).
+                start_us, last_us, n_events, value_sum = (
+                    min(start_us, t), max(last_us, t), n_events + 1, value_sum + v,
+                )
         state.update((session_no, start_us, last_us, n_events, value_sum))
 
         if out:
@@ -188,7 +200,17 @@ def sessionize_stream(
     events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS
 ) -> DataFrame:
     """Streaming twin of ``sessionize_events`` as a custom stateful operator
-    (applyInPandasWithState). Emits a session when a later event closes it."""
+    (applyInPandasWithState). Emits a session when a later event closes it.
+
+    Equality guarantee: for per-user event-time-ordered arrival (each
+    user's events never cross micro-batches out of order), closed-session
+    output is IDENTICAL to the batch twin minus each user's final (still-
+    open) session — pinned by the pytest suite. Rows arriving late but
+    inside the watermark are absorbed into the open session with clamped
+    bounds (start=min, end=max; counts and sums exact): a one-pass
+    operator cannot retroactively re-split sessions the way the batch
+    twin's global sort can, so for late data only the gap-split decision
+    may differ — never an invalid interval, never a dropped event."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return (

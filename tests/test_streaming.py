@@ -283,3 +283,69 @@ def test_sessionize_null_values_match_batch_and_empty_first_poll(spark, tmp_path
         closed.drop(columns=["value_sum"]),
         check_dtype=False,
     )
+
+
+def test_sessionize_late_event_within_watermark_never_regresses_bounds(spark, tmp_path):
+    """A row arriving late but inside the 2h watermark is ADMITTED into the
+    stateful sessionizer; assigning it to ``last_us`` unconditionally would
+    regress the open session's bounds — emitting an invalid interval
+    (session_end < session_start) and mis-computing the next row's gap (an
+    on-time follow-up 5h later, within the 6h gap of the TRUE last event,
+    would falsely close the session). Late rows must be absorbed with
+    clamped bounds: start=min, end=max, counts exact."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from linkgraph.streaming import EVENTS_SCHEMA, run_sessionize_stream_once
+
+    def write_batch(rows, mode):
+        spark.createDataFrame(
+            [
+                (i, dt.datetime(2024, 3, 1) + dt.timedelta(hours=h), 1, "c", 1.0, "{}")
+                for i, h in rows
+            ],
+            EVENTS_SCHEMA,
+        ).coalesce(1).write.mode(mode).parquet(stage)
+
+    stage = str(tmp_path / "late_events")
+    out = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+    # batch 1 (in order): 00:00 then 08:00 — the 8h silence > 6h gap
+    # closes s1 and opens s2
+    write_batch([(1, 0), (2, 8)], "overwrite")
+    run_sessionize_stream_once(spark, stage, out, ckpt)
+    # batch 2: 06:30, LATE (1.5h behind the 08:00 max — inside the 2h
+    # watermark, so the operator receives it)
+    write_batch([(3, 6.5)], "append")
+    run_sessionize_stream_once(spark, stage, out, ckpt)
+    # batch 3 (on time): 13:00 is 5h after the TRUE last event (08:00) —
+    # must NOT close s2; 22:00 is 9h later — closes s2
+    write_batch([(4, 13), (5, 22)], "append")
+    got = (
+        run_sessionize_stream_once(spark, stage, out, ckpt)
+        .toPandas()
+        .sort_values("session_no")
+        .reset_index(drop=True)
+    )
+
+    assert (got["session_end"] >= got["session_start"]).all(), got
+    expect = pd.DataFrame(
+        {
+            "session_no": [1, 2],
+            "session_start": pd.to_datetime(
+                ["2024-03-01 00:00", "2024-03-01 06:30"]
+            ),
+            "session_end": pd.to_datetime(
+                ["2024-03-01 00:00", "2024-03-01 13:00"]
+            ),
+            "n_events": [1, 3],
+        }
+    )
+    pd.testing.assert_frame_equal(
+        got[["session_no", "session_start", "session_end", "n_events"]].astype(
+            {"session_no": "int64", "n_events": "int64"}
+        ),
+        expect,
+        check_dtype=False,
+    )
