@@ -26,7 +26,11 @@ _SCRIPT_RE = re.compile(rb"(?is)<script\b.*?</script>")
 _STYLE_RE = re.compile(rb"(?is)<style\b.*?</style>")
 _TAG_RE = re.compile(rb"(?s)<[^>]*>")
 _WS_RE = re.compile(r"\s+")
-_HREF_RE = re.compile(r"(?is)<a\b[^>]*?href\s*=\s*\"([^\"]*)\"")
+# a delimiter (whitespace or quote) must precede ``href``: without it the
+# lazy [^>]*? happily ends mid-attribute-name and <a data-href="..."> (or
+# xlink:href) captures the WRONG attribute's value while the tag's real
+# href is skipped (scanning resumes past the closing quote)
+_HREF_RE = re.compile(r"(?is)<a\b[^>]*?[\s\"']href\s*=\s*\"([^\"]*)\"")
 
 
 def extract_text(html: bytes) -> str:
@@ -65,7 +69,14 @@ def extract_links(html: bytes, base_url: str) -> list[str]:
     text = html.decode("utf-8", errors="replace")
     out: list[str] = []
     for href in _HREF_RE.findall(text):
-        absolute = urljoin(base_url or "", href.strip())
+        try:
+            absolute = urljoin(base_url or "", href.strip())
+        except ValueError:
+            # urljoin itself urlsplits the raw href ('http://[bad' raises
+            # Invalid IPv6 URL) — one malformed href on one page must drop
+            # that href, not abort the whole Arrow batch/task/job (same
+            # "drop what doesn't normalize" contract as normalize_url)
+            continue
         normalized = normalize_url(absolute)
         if normalized:
             out.append(normalized)

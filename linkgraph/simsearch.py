@@ -219,9 +219,20 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMB_NEAR_DUP_SQL = f"""
 WITH n AS (
+    -- zero-norm vectors are FILTERED, not NULLIF'd: x / NULLIF(0,0)
+    -- would make u an all-NULL list and DuckDB's list_dot_product
+    -- RAISES on NULL elements (unlike the scalar NULLIF divisions in
+    -- the knn oracles, where a NULL cosine just falls out of top-k).
+    -- Spark's side yields NULL cosine for these rows via try_divide,
+    -- which fails the >= threshold the same way the filter does.
     SELECT vec_id,
-           list_transform(embedding, x -> x / NULLIF(sqrt(list_dot_product(embedding, embedding)), 0)) AS u
-    FROM embeddings
+           list_transform(embedding, x -> x / norm) AS u
+    FROM (
+        SELECT vec_id, embedding,
+               sqrt(list_dot_product(embedding, embedding)) AS norm
+        FROM embeddings
+    )
+    WHERE norm > 0
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND(list_dot_product(a.u, b.u), 3) AS cosine

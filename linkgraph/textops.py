@@ -42,11 +42,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _norm_text(col):
-    """lower + collapse whitespace + trim — shared normalization."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    """lower + collapse whitespace + trim — shared normalization.
+
+    The whitespace class is spelled out EXPLICITLY because the engines
+    disagree on shorthand: Java regex ``\\s`` includes vertical tab
+    \\x0B, DuckDB's RE2 ``\\s`` does not — a doc containing \\x0B would
+    normalize differently on the two sides and flip the value hash of
+    every downstream fingerprint/shingle/token query. One class, both
+    engines, byte-identical output."""
+    return F.trim(F.regexp_replace(F.lower(col), "[ \\t\\n\\x0B\\f\\r]+", " "))
 
 
-_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_NORM_SQL = r"trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))"
 
 
 # ------------------------------------------------------------- fingerprints
@@ -94,13 +101,21 @@ def _shingles(d: DataFrame) -> DataFrame:
         "doc_id", F.split(_norm_text(F.col("text")), " ").alias("w")
     )
     n = SHINGLE_WORDS
+    # docs shorter than n words produce NO shingles (the oracle's
+    # WHERE len(words) >= n twin). Without the guard, sequence(0, size-n)
+    # goes DESCENDING for short docs and slice(w, 0, n) raises
+    # INVALID_PARAMETER_VALUE.START — one empty/two-word doc in the
+    # corpus would abort every shingle-based query.
     grams = words.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("w") - F.lit(n)),
-                lambda i: F.array_join(F.slice("w", i + 1, n), " "),
-            )
+            F.when(
+                F.size("w") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - F.lit(n)),
+                    lambda i: F.array_join(F.slice("w", i + 1, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("gram"),
     )
     return grams.select("doc_id", F.md5("gram").alias("sh")).distinct()
@@ -123,10 +138,16 @@ def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap in the DuckDB oracle)."""
     raw = _shingles(_docs(spark, sf_dir))
     df_counts = raw.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    sh = (
-        raw.join(df_counts.filter(F.col("df") > STOP_SHINGLE_MAX_DF), "sh", "left_anti")
-        .persist()
-    )
+    # lazy localCheckpoint, NOT persist: the kept-shingle set feeds three
+    # consumers (sizes + both self-join sides) so it must materialize
+    # once, but a persist() inside a returned-lazy plan pins a
+    # CacheManager entry for the session's lifetime (nobody can
+    # unpersist it after return). A lazy localCheckpoint computes once on
+    # first use and its blocks are ContextCleaner-reclaimed when the
+    # caller drops the plan.
+    sh = raw.join(
+        df_counts.filter(F.col("df") > STOP_SHINGLE_MAX_DF), "sh", "left_anti"
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.withColumnRenamed("doc_id", "doc_a")
     b = sh.withColumnRenamed("doc_id", "doc_b")
@@ -428,7 +449,10 @@ DOC_SIMHASH_NEAR_DUPS_SQL = _simhash_near_dups_sql()
 # scrub runs on the ORIGINAL text (you redact what you keep), which is
 # not lowercased like the metrics input
 PII_EMAIL_RE = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
-PII_URL_RE = r"(?i)https?://[^\s]+"
+# explicit whitespace class, not [^\s]: Java's \s includes \x0B, RE2's
+# does not — the shorthand would count URLs differently on the two
+# engines for text containing a vertical tab (see _norm_text)
+PII_URL_RE = r"(?i)https?://[^ \t\n\x0b\f\r]+"
 
 
 def scrub_text(col):

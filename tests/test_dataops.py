@@ -363,3 +363,87 @@ def test_similarity_queries_survive_zero_norm_embedding(spark, tmp_path):
         assert len(dups) > 0
         assert 99 not in set(dups["vec_a"]) | set(dups["vec_b"])
         assert dups["cosine"].notna().all()
+
+    # the DuckDB ORACLE must survive the same degenerate vector: NULLIF
+    # normalization used to make u an all-NULL list and list_dot_product
+    # raises on NULL elements — the oracle died on exactly the input the
+    # Spark side is hardened for, failing the driver gate
+    import duckdb
+
+    from linkgraph.simsearch import EMB_NEAR_DUP_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet/*.parquet')"
+    )
+    want = con.execute(EMB_NEAR_DUP_SQL).df()
+    exact = embedding_near_dup_pairs(emb).toPandas()
+    assert len(want) == len(exact) > 0
+    assert 99 not in set(want["vec_a"]) | set(want["vec_b"])
+
+
+def test_per_operator_oracle_sql_twins_match_spark(spark, tmp_path):
+    """The five per-operator SQL twins (fingerprint, token count, quality,
+    lang-id, rolling fingerprint) are documentation-grade oracles that the
+    driver gate does NOT run (it consumes the merged one-scan constants) —
+    without a gate of their own they silently drift from their Spark
+    counterparts. Cross-check each against its q_* function on real
+    testdata with the same row/column/value-hash discipline as
+    tools/check_oracles.py. The corpus is augmented with degenerate docs
+    (empty text, one word, vertical tab) so the shared normalization is
+    exercised where the engines' regex classes historically diverged."""
+    import duckdb
+
+    from linkgraph.textops import (
+        DOC_FINGERPRINT_SQL,
+        DOC_LANG_ID_SQL,
+        DOC_QUALITY_SQL,
+        DOC_ROLLING_FP_SQL,
+        DOC_TOKEN_COUNT_SQL,
+        q_doc_fingerprint,
+        q_doc_lang_id,
+        q_doc_quality,
+        q_doc_rolling_fingerprint,
+        q_doc_token_count,
+    )
+
+    sf_dir = str(tmp_path)
+    base = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    extra = spark.createDataFrame(
+        [
+            (90001, "", "en", "synthetic", 0),
+            (90002, "word", "en", "synthetic", 4),
+            (90003, "a\x0bb cde  fgh\tij", "en", "synthetic", 16),
+            (90004, "The THE the and AND http://x.example/a http://y.example/b", "en", "synthetic", 57),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    # align schemas: keep only the columns both sides share
+    common = [c for c in base.columns if c in extra.columns]
+    docs = base.select(common).unionByName(extra.select(common))
+    docs.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        # Spark writes a DIRECTORY of part files; glob them for DuckDB
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracles import value_hash
+
+    pairs = [
+        ("fingerprint", q_doc_fingerprint, DOC_FINGERPRINT_SQL),
+        ("token_count", q_doc_token_count, DOC_TOKEN_COUNT_SQL),
+        ("quality", q_doc_quality, DOC_QUALITY_SQL),
+        ("lang_id", q_doc_lang_id, DOC_LANG_ID_SQL),
+        ("rolling_fp", q_doc_rolling_fingerprint, DOC_ROLLING_FP_SQL),
+    ]
+    for name, fn, sql in pairs:
+        got = fn(spark, sf_dir).toPandas()
+        want = con.execute(sql).df()
+        assert len(got) == len(want), (name, len(got), len(want))
+        assert sorted(got.columns) == sorted(want.columns), name
+        assert value_hash(got) == value_hash(want), f"{name}: value hash mismatch"

@@ -72,3 +72,21 @@ def test_extract_links_udf_matches_pure(spark):
     assert (out["t2"] == out["text"]).all()
     for _, row in out.iterrows():
         assert list(row["links"]) == extract_links(row["html"], row["url"])
+
+
+def test_extract_links_attribute_suffix_and_malformed_href():
+    """Two extraction hazards from real-web HTML: (1) an attribute whose
+    NAME merely ends in 'href' (data-href, xlink:href) must not shadow the
+    tag's real href — the lazy prefix match used to capture the tracker
+    URL and drop the genuine link; (2) a malformed href that urljoin
+    itself cannot split ('http://[bad' — invalid IPv6 bracket) must be
+    dropped, not raise out of the Arrow batch and kill the task."""
+    from linkgraph.extract import extract_links
+
+    html = (
+        b'<a data-href="http://tracker.example/x" href="http://real.example/y">r</a>'
+        b'<a href="http://[bad">broken</a>'
+        b'<a href="/rel">rel</a>'
+    )
+    got = extract_links(html, "http://base.example/dir/page")
+    assert got == ["http://real.example/y", "http://base.example/rel"]
