@@ -262,8 +262,15 @@ def host_store_rank_poll(
     dictionary extends (known hosts keep ids — id-keyed rank state
     survives polls), and weighted PageRank warm-starts from the previous
     poll's host ranks. Converged ranks are identical to a from-scratch
-    batch ``host_pagerank`` over the store's current pairs (the fixpoint
-    is unique per graph; tested in test_incremental.py).
+    batch ``host_pagerank`` over the store's current pairs for every host
+    that roll-up covers (the fixpoint is unique per graph; tested in
+    test_incremental.py) — PLUS the stable dictionary's stale hosts: a
+    host whose last cross-host edge a tombstone/re-crawl removed keeps
+    its dict id (ids are never reclaimed) and rides along as an isolated
+    vertex at exactly the dangling fixpoint ``1-damping``. Consumers
+    reading the committed ranks see the superset; joining against the
+    current roll-up's hosts restricts to the live view
+    (jobs/fuzz_polls.py pins both halves of this contract).
 
     State under ``state_dir``: links/ (LinkStore), hostagg/ (partials),
     hostdict/ (stable host -> id), host_ranks/ (latest converged ranks).
