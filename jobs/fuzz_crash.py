@@ -1,0 +1,323 @@
+"""Systematic crash-injection sweep over the poll/store protocols.
+
+The pytest suite proves recovery at HAND-PICKED crash windows (merge →
+dict commit, meta delete → rename, mid-bucket-swap, mid-split). This job
+removes the hand-picking: it arms a fault injector that raises at the
+k-th FILESYSTEM MUTATION (fs_rename / fs_delete / fs_write_text /
+fs_mkdirs — the primitives every commit protocol in the repo is built
+from), sweeps k = 1, 2, 3, … until a poll completes with no injection
+left to fire, and after every injected "driver death" runs the recovery
+replay and verifies BOTH:
+
+  - the committed product equals a from-scratch batch recompute over the
+    store's current pairs (rank / components / triangles / host loops),
+  - the store's latest view equals the INDEPENDENT ground truth derived
+    straight from the pages directory (latest_snapshot → extract links),
+    so a store corrupted in a way the product check can't see (it reads
+    through the store) still fails loudly.
+
+Every crash point any poll can reach is therefore exercised — including
+the ones nobody thought to name. A second phase sweeps the injector
+through ``LinkStore.split`` and checks the roll-forward recovery.
+
+Opt-in (minutes per flavor):
+
+    python jobs/fuzz_crash.py --flavors rank,comps,tri,host --n0 30
+
+Prints one JSON line per injected crash point; exits nonzero on mismatch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+EPS = 1e-8
+ATOL = 100 * EPS
+PAGE_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+_MUTATORS = ("fs_rename", "fs_delete", "fs_write_text", "fs_mkdirs")
+
+
+class InjectedCrash(Exception):
+    """Stands in for a driver death at an arbitrary protocol step."""
+
+
+class Injector:
+    """Patch the repo's fs mutation helpers (in linkgraph.engine AND in
+    linkgraph.linkstore, which from-imports them at module top) to raise
+    InjectedCrash on the k-th call. Read helpers stay untouched — a crash
+    never corrupts a read."""
+
+    def __init__(self):
+        import linkgraph.engine as eng
+        import linkgraph.linkstore as ls
+
+        self._mods = (eng, ls)
+        self._orig = {m: {n: getattr(m, n) for n in _MUTATORS if hasattr(m, n)} for m in self._mods}
+        self._k = None
+        self._n = 0
+
+    def arm(self, k: int) -> None:
+        self._k, self._n = k, 0
+        import linkgraph.engine as eng
+
+        def wrap(fn):
+            def inner(*a, **kw):
+                self._n += 1
+                if self._n == self._k:
+                    raise InjectedCrash(f"{fn.__name__} call #{self._k}")
+                return fn(*a, **kw)
+
+            return inner
+
+        for name in _MUTATORS:
+            w = wrap(self._orig[eng][name])
+            for m in self._mods:
+                if name in self._orig[m]:
+                    setattr(m, name, w)
+
+    def disarm(self) -> int:
+        for m in self._mods:
+            for name, fn in self._orig[m].items():
+                setattr(m, name, fn)
+        return self._n
+
+
+def _html(links):
+    return ("<html><body>" + "".join(f'<a href="{u}">l</a>' for u in links) + "</body></html>").encode()
+
+
+def small_batch(rng, spark, round_no: int, known: list[str], next_idx: int):
+    """One new page linking two random known urls, with p=0.5 a re-crawl
+    rewriting a random page's outlinks and p=0.3 a tombstone kill —
+    every structural event class per round, so every k lands on a poll
+    doing real replacement work."""
+    from linkgraph.synth import page_url
+
+    ts0 = dt.datetime(2024, 6, 1, 12, 0, 0) + dt.timedelta(hours=round_no)
+    rows = []
+    u = page_url(next_idx)
+    next_idx += 1
+    t = list(rng.choice(known, size=min(2, len(known)), replace=False))
+    rows.append((u, ts0, _html(t), "", "en"))
+    known.append(u)
+    if rng.random() < 0.5:
+        ru = str(rng.choice(known[:-1]))
+        rt = [x for x in rng.choice(known, size=2, replace=False) if x != ru]
+        rows.append((ru, ts0 + dt.timedelta(minutes=1), _html(rt), "", "en"))
+    if rng.random() < 0.3:
+        ku = str(rng.choice(known[:-1]))
+        rows.append((ku, ts0 + dt.timedelta(minutes=2), _html([]), "", "en"))
+    return spark.createDataFrame(rows, PAGE_SCHEMA), next_idx
+
+
+def store_matches_pages(spark, store, stage) -> bool:
+    """Store latest view == ground truth derived from the pages dir alone."""
+    from linkgraph.build import extract_link_pairs, latest_snapshot
+
+    pages = spark.read.parquet(stage)
+    want = {
+        (r["src_url"], r["dst_url"])
+        for r in extract_link_pairs(latest_snapshot(pages)).distinct().collect()
+    }
+    got = {(r["src_url"], r["dst_url"]) for r in store.current_pairs().collect()}
+    return got == want
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--flavors", default="rank,comps,tri,host")
+    ap.add_argument("--n0", type=int, default=30)
+    ap.add_argument("--max-k", type=int, default=200)
+    ap.add_argument("--split-max-k", type=int, default=20)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from linkgraph.algos import pagerank, triangle_counts, wcc
+    from linkgraph.build import pairs_to_edges
+    from linkgraph.conventions import PR_DAMPING
+    from linkgraph.hostgraph import host_pagerank
+    from linkgraph.incremental import (
+        host_store_rank_poll,
+        link_store_components_poll,
+        link_store_rank_poll,
+        link_store_triangles_poll,
+    )
+    from linkgraph.linkstore import LinkStore
+    from linkgraph.session import get_spark
+    from linkgraph.synth import gen_pages
+
+    spark = get_spark(app_name="fuzz-crash", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    inj = Injector()
+    failures = 0
+
+    def report(flavor, k, crashed, ok, detail=""):
+        nonlocal failures
+        if not ok:
+            failures += 1
+        print(json.dumps({"flavor": flavor, "k": k, "crashed": bool(crashed), "ok": bool(ok), "detail": detail}))
+
+    POLLS = {
+        "rank": lambda stage, st: link_store_rank_poll(
+            spark, stage, st, eps=EPS, max_iters=300, partitions=8, buckets=8
+        ),
+        "comps": lambda stage, st: link_store_components_poll(
+            spark, stage, st, max_iters=300, partitions=8, buckets=8
+        ),
+        "tri": lambda stage, st: link_store_triangles_poll(
+            spark, stage, st, partitions=8, buckets=8
+        ),
+        "host": lambda stage, st: host_store_rank_poll(
+            spark, stage, st, eps=EPS, max_iters=300, partitions=8, buckets=8
+        ),
+    }
+
+    def verify(flavor, stage, st) -> tuple[bool, str]:
+        store = LinkStore(spark, f"{st}/links", buckets=None)
+        if not store_matches_pages(spark, store, stage):
+            return False, "store != pages ground truth"
+        if flavor == "host":
+            want = {
+                r["host"]: r["rank"]
+                for r in host_pagerank(
+                    spark, store.current_pairs(), eps=EPS, max_iters=300, partitions=8
+                ).collect()
+            }
+            hd = spark.read.parquet(f"{st}/hostdict")
+            got = {
+                r["url"]: r["rank"]
+                for r in spark.read.parquet(f"{st}/host_ranks").join(hd, "id").collect()
+            }
+            stale = {h: r for h, r in got.items() if h not in want}
+            ok = (
+                set(want) <= set(got)
+                and all(abs(got[h] - want[h]) <= ATOL for h in want)
+                and all(abs(r - (1.0 - PR_DAMPING)) <= ATOL for r in stale.values())
+            )
+            return ok, "" if ok else "host ranks diverge"
+        d = spark.read.parquet(f"{st}/dict")
+        edges = pairs_to_edges(store.current_pairs(), d)
+        if flavor == "rank":
+            want = pagerank(
+                spark, edges, vertices=d.select("id"), eps=EPS, max_iters=300, partitions=8
+            ).state.select("id", F.col("rank").alias("w"))
+            got = spark.read.parquet(f"{st}/ranks")
+            both = got.join(want, "id").toPandas()
+            ok = len(both) == got.count() > 0 and np.allclose(
+                both["rank"].to_numpy(), both["w"].to_numpy(), rtol=0, atol=ATOL
+            )
+            return ok, "" if ok else "ranks diverge"
+        if flavor == "comps":
+            def by_url(labels):
+                return (
+                    labels.join(d, "id")
+                    .select(F.col("url").alias("u"), "comp")
+                    .join(d.select(F.col("id").alias("comp"), F.col("url").alias("cu")), "comp")
+                    .select("u", "cu")
+                )
+
+            want = {(r["u"], r["cu"]) for r in by_url(
+                wcc(spark, edges, partitions=8).state.select("id", "comp")
+            ).collect()}
+            got = {(r["u"], r["cu"]) for r in by_url(
+                spark.read.parquet(f"{st}/comps")
+            ).collect()}
+            return (got == want and len(got) > 0), "" if got == want else "comps diverge"
+        want = {
+            r["url"]: r["tri"]
+            for r in triangle_counts(spark, edges).join(d, "id").collect()
+        }
+        got = {
+            r["url"]: r["tri"]
+            for r in spark.read.parquet(f"{st}/tri").join(d, "id").collect()
+        }
+        return (got == want and len(got) > 0), "" if got == want else "tri diverge"
+
+    # ---------------- phase 1: poll-protocol sweep, one flavor at a time
+    for flavor in args.flavors.split(","):
+        poll = POLLS[flavor]
+        rng = np.random.default_rng(hash(flavor) % (2**31))
+        work = tempfile.mkdtemp(prefix=f"fuzz_crash_{flavor}_")
+        stage, st = f"{work}/pages", f"{work}/state"
+        try:
+            pages0 = gen_pages(spark, args.n0)
+            known = [r["url"] for r in pages0.select("url").collect()]
+            pages0.coalesce(1).write.mode("overwrite").parquet(stage)
+            next_idx = 50_000
+            poll(stage, st)  # clean bootstrap
+            ok, detail = verify(flavor, stage, st)
+            report(flavor, 0, False, ok, detail)
+
+            for k in range(1, args.max_k + 1):
+                batch, next_idx = small_batch(rng, spark, k, known, next_idx)
+                batch.coalesce(1).write.mode("append").parquet(stage)
+                inj.arm(k)
+                crashed = False
+                try:
+                    poll(stage, st)
+                except InjectedCrash:
+                    crashed = True
+                finally:
+                    inj.disarm()
+                if crashed:
+                    poll(stage, st)  # the recovery replay
+                ok, detail = verify(flavor, stage, st)
+                report(flavor, k, crashed, ok, detail)
+                if not crashed:
+                    # k exceeded this poll's mutation count: every reachable
+                    # crash point for this flavor has been injected
+                    break
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    # ---------------- phase 2: split roll-forward sweep (fresh store per k
+    # so the bucket count stays fixed — a crashed split completes on the
+    # next open, so reusing one store would double B every round)
+    for k in range(1, args.split_max_k + 1):
+        work = tempfile.mkdtemp(prefix=f"fuzz_crash_split{k}_")
+        stage, st = f"{work}/pages", f"{work}/state"
+        try:
+            gen_pages(spark, args.n0).coalesce(1).write.mode("overwrite").parquet(stage)
+            link_store_rank_poll(spark, stage, st, eps=EPS, max_iters=300, partitions=8, buckets=8)
+            store = LinkStore(spark, f"{st}/links", buckets=None)
+            inj.arm(k)
+            crashed = False
+            try:
+                store.split(2)
+            except InjectedCrash:
+                crashed = True
+            finally:
+                inj.disarm()
+            # recovery: re-open rolls a marked split forward
+            reopened = LinkStore.open_or_create(spark, f"{st}/links", buckets=8)
+            ok = store_matches_pages(spark, reopened, stage) and reopened.buckets in (8, 16)
+            # a follow-up poll over the recovered store must still be exact
+            if ok:
+                gen_pages(spark, args.n0 + 5).coalesce(1).write.mode("append").parquet(stage)
+                link_store_rank_poll(spark, stage, st, eps=EPS, max_iters=300, partitions=8, buckets=8)
+                ok, detail = verify("rank", stage, st)
+            else:
+                detail = "store != ground truth after split recovery"
+            report("split", k, crashed, ok, detail if not ok else "")
+            if not crashed:
+                break
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    print(json.dumps({"failures": failures}))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
