@@ -112,6 +112,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     failures = 0
+    splits = 0
 
     def check(seed, poll, loop, ok, detail=""):
         nonlocal failures
@@ -134,6 +135,22 @@ def main() -> int:
                 if poll_no > 1:
                     batch, next_idx = random_batch(rng, spark, poll_no, known, next_idx)
                     batch.coalesce(1).write.mode("append").parquet(stage)
+                    # ops-loop store maintenance interleaved at random: a
+                    # split must be invisible to every poll product — it
+                    # preserves merged_through (warm/delta gates stay
+                    # valid), polls adopt the new count via open_or_create,
+                    # and HostAgg detects the bucket-count change in its
+                    # meta and rebuilds its partials rather than serving
+                    # stale per-bucket roll-ups. Poll 2 always splits (so
+                    # every seed exercises the path at least once); later
+                    # polls split on the dice, compounding 8->16->32->64.
+                    if poll_no == 2 or rng.random() < 0.3:
+                        for st in states.values():
+                            s = LinkStore.open_or_create(spark, f"{st}/links", buckets=8)
+                            if s.merged_through() >= 0 and s.buckets < 64:
+                                s.split(2)
+                                splits += 1
+                        print(json.dumps({"seed": seed, "poll": poll_no, "event": "split", "total_splits": splits}))
 
                 # ---- rank loop: converged ranks == batch pagerank (same
                 # dict ids, same vertex set — the fixpoint is unique)
@@ -236,7 +253,7 @@ def main() -> int:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
-    print(json.dumps({"seeds": args.seeds, "polls": args.polls, "n0": args.n0, "failures": failures}))
+    print(json.dumps({"seeds": args.seeds, "polls": args.polls, "n0": args.n0, "splits": splits, "failures": failures}))
     return 1 if failures else 0
 
 
