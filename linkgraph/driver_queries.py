@@ -1584,15 +1584,32 @@ def q_pages_pipeline_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column feature extraction plumbing over synthetic pages' html
-    (decode stubbed — linkgraph/multimodal.py). Rows-only."""
-    from linkgraph.multimodal import extract_media_features
-    from linkgraph.synth import gen_pages
+    """Binary-column feature extraction over the documents table's UTF-8
+    bytes (decode kernels stubbed — linkgraph/multimodal.py; the extractor
+    is the deterministic sha256-derived stand-in). Fully oracle-checked:
+    each float32 feature is u/65535 for a uint16 u from the digest, and
+    round(f*65535) recovers u EXACTLY (float32 rel. error ≤ 2^-24 keeps
+    f*65535 within 0.008 of the integer), so the comparison is integer
+    math on both sides — DuckDB recomputes u from sha256() hex pairs and
+    no float32 rendering ever enters the value hash."""
+    from linkgraph.multimodal import FEATURE_DIM, extract_media_features
 
-    pages = gen_pages(spark, 200)
-    feats = extract_media_features(pages, key_col="url", payload_col="html")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode(F.coalesce("text", F.lit("")), "UTF-8").alias("payload")
+    )
+    feats = extract_media_features(
+        docs, key_col="doc_id", payload_col="payload", mime="text/plain"
+    )
     return feats.select(
-        "key", "mime", "n_bytes", F.round(F.element_at("features", 1), 5).alias("f0")
+        "key",
+        "mime",
+        "n_bytes",
+        *[
+            F.round(F.element_at("features", i + 1) * F.lit(65535.0))
+            .cast("long")
+            .alias(f"u{i}")
+            for i in range(FEATURE_DIM)
+        ],
     )
 
 
@@ -1667,6 +1684,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "count_distinct": q_count_distinct,
 }
 
+# multimodal_features oracle: recompute the sha256-derived uint16 lattice
+# with integer math — digest byte j is hex pair substr(hx, 2j+1, 2), and
+# feature i is the little-endian uint16 at bytes (2i, 2i+1), i.e.
+# 0x<hi><lo> = concat(pair(2i+1), pair(2i)). The Spark side requantizes its
+# float32 features back onto this lattice (see q_multimodal_features), so
+# both sides compare exact integers.
+_MULTIMODAL_SQL = (
+    "WITH h AS (SELECT CAST(doc_id AS VARCHAR) AS key, 'text/plain' AS mime,"
+    " CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,"
+    " sha256(coalesce(text, '')) AS hx FROM documents)\n"
+    "SELECT key, mime, n_bytes,\n"
+    + ",\n".join(
+        f"  CAST(CAST(concat('0x', substr(hx, {4 * i + 3}, 2),"
+        f" substr(hx, {4 * i + 1}, 2)) AS INTEGER) AS BIGINT) AS u{i}"
+        for i in range(16)
+    )
+    + "\nFROM h"
+)
+
 ORACLE_SQL: dict[str, str] = {
     "graph_degrees": _DEGREES_SQL,
     "graph_symmetrize": _SYMMETRIZE_SQL,
@@ -1715,6 +1751,7 @@ ORACLE_SQL: dict[str, str] = {
     "knn_bruteforce": simsearch.KNN_BRUTEFORCE_SQL,
     "embedding_near_dup_pairs": simsearch.EMB_NEAR_DUP_SQL,
     "embedding_label_norms": simsearch.EMBEDDING_LABEL_NORMS_SQL,
-    # "knn_ann", "pages_pipeline_top10", "multimodal_features":
-    # rows-only (see tests/test_driver_contract.py)
+    "multimodal_features": _MULTIMODAL_SQL,
+    # "knn_ann", "pages_pipeline_top10": rows-only
+    # (see tests/test_driver_contract.py)
 }

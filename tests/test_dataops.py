@@ -183,6 +183,18 @@ def test_multimodal_feature_plumbing(spark):
         decode_image_batch(pd.Series([b"x"]))
 
 
+def test_multimodal_requantization_is_exact():
+    """The multimodal_features oracle contract (no Spark needed): every
+    float32 feature u/65535 must round-trip to its uint16 u EXACTLY via
+    round(f * 65535) — the property that lets DuckDB compare integers
+    instead of float32 renderings. Proven for the whole lattice, not a
+    sample: all 65536 possible feature values."""
+    u = np.arange(65536, dtype=np.uint16)
+    f = (u.astype(np.float32) / 65535.0).astype(np.float32)  # extractor math
+    back = np.rint(f.astype(np.float64) * 65535.0).astype(np.int64)  # Spark math
+    assert (back == u).all()
+
+
 def test_lang_id_mostly_right_on_en(spark):
     """Sanity: heuristic lang-id is deterministic and scores real English
     docs as 'en' more often than any other label."""

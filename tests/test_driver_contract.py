@@ -15,8 +15,6 @@ ROWS_ONLY_ALLOWLIST = {
     "knn_ann",
     # synthesized input (pages generator) — no shared table for DuckDB
     "pages_pipeline_top10",
-    # mapInPandas feature extraction over synthesized binary payloads
-    "multimodal_features",
 }
 
 
