@@ -1689,7 +1689,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # feature i is the little-endian uint16 at bytes (2i, 2i+1), i.e.
 # 0x<hi><lo> = concat(pair(2i+1), pair(2i)). The Spark side requantizes its
 # float32 features back onto this lattice (see q_multimodal_features), so
-# both sides compare exact integers.
+# both sides compare exact integers. The column fan-out is tied to the
+# extractor's FEATURE_DIM so the two sides cannot drift apart.
+from linkgraph.multimodal import FEATURE_DIM as _MM_FEATURE_DIM  # noqa: E402
+
 _MULTIMODAL_SQL = (
     "WITH h AS (SELECT CAST(doc_id AS VARCHAR) AS key, 'text/plain' AS mime,"
     " CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,"
@@ -1698,7 +1701,7 @@ _MULTIMODAL_SQL = (
     + ",\n".join(
         f"  CAST(CAST(concat('0x', substr(hx, {4 * i + 3}, 2),"
         f" substr(hx, {4 * i + 1}, 2)) AS INTEGER) AS BIGINT) AS u{i}"
-        for i in range(16)
+        for i in range(_MM_FEATURE_DIM)
     )
     + "\nFROM h"
 )
