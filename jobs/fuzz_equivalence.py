@@ -60,6 +60,11 @@ def hub_skewed_edges(rng: np.random.Generator, n: int, m: int) -> np.ndarray:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=8)
+    ap.add_argument(
+        "--seed0", type=int, default=1,
+        help="first seed (sweep covers seed0..seed0+seeds-1; lets a later "
+        "run extend an already-recorded sweep with fresh seeds only)",
+    )
     ap.add_argument("--n", type=int, default=2000)
     ap.add_argument("--m", type=int, default=20000)
     ap.add_argument("--hub-threshold", type=int, default=64)
@@ -89,7 +94,7 @@ def main() -> int:
             failures += 1
         print(json.dumps({"seed": seed, "check": name, "ok": bool(ok), "detail": detail}))
 
-    for seed in range(1, args.seeds + 1):
+    for seed in range(args.seed0, args.seed0 + args.seeds):
         rng = np.random.default_rng(seed)
         arr = hub_skewed_edges(rng, args.n, args.m)
         e = edges_df(spark, arr, partitions=8)

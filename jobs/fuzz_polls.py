@@ -89,6 +89,11 @@ def random_batch(rng, spark, poll_no: int, known_urls: list[str], next_idx: int)
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=4)
+    ap.add_argument(
+        "--seed0", type=int, default=1,
+        help="first seed (sweep covers seed0..seed0+seeds-1; lets a later "
+        "run extend an already-recorded sweep with fresh seeds only)",
+    )
     ap.add_argument("--polls", type=int, default=4)
     ap.add_argument("--n0", type=int, default=50)
     args = ap.parse_args()
@@ -120,7 +125,7 @@ def main() -> int:
             failures += 1
         print(json.dumps({"seed": seed, "poll": poll, "loop": loop, "ok": bool(ok), "detail": detail}))
 
-    for seed in range(1, args.seeds + 1):
+    for seed in range(args.seed0, args.seed0 + args.seeds):
         rng = np.random.default_rng(seed)
         work = tempfile.mkdtemp(prefix=f"fuzz_polls_s{seed}_")
         stage = f"{work}/pages"
