@@ -36,6 +36,7 @@ import os
 import shutil
 import sys
 import tempfile
+import zlib
 
 import numpy as np
 
@@ -136,6 +137,11 @@ def store_matches_pages(spark, store, stage) -> bool:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--flavors", default="rank,comps,tri,host")
+    ap.add_argument(
+        "--seed", type=int, default=0,
+        help="history seed (combined with the flavor name; lets reruns "
+        "sweep fresh crawl histories while staying reproducible)",
+    )
     ap.add_argument("--n0", type=int, default=30)
     ap.add_argument("--max-k", type=int, default=200)
     ap.add_argument("--split-max-k", type=int, default=20)
@@ -247,7 +253,11 @@ def main() -> int:
     # ---------------- phase 1: poll-protocol sweep, one flavor at a time
     for flavor in args.flavors.split(","):
         poll = POLLS[flavor]
-        rng = np.random.default_rng(hash(flavor) % (2**31))
+        # zlib.crc32, not hash(): str hashing is salted per-process, which
+        # would make a failing history unreproducible.
+        rng = np.random.default_rng(
+            (zlib.crc32(flavor.encode()) + args.seed) % (2**31)
+        )
         work = tempfile.mkdtemp(prefix=f"fuzz_crash_{flavor}_")
         stage, st = f"{work}/pages", f"{work}/state"
         try:
