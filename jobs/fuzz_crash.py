@@ -5,8 +5,10 @@ dict commit, meta delete → rename, mid-bucket-swap, mid-split). This job
 removes the hand-picking: it arms a fault injector that raises at the
 k-th FILESYSTEM MUTATION (fs_rename / fs_delete / fs_write_text /
 fs_mkdirs — the primitives every commit protocol in the repo is built
-from), sweeps k = 1, 2, 3, … until a poll completes with no injection
-left to fire, and after every injected "driver death" runs the recovery
+from), sweeps k = 1, 2, 3, … until k exceeds the LARGEST mutation count any
+poll in the history was observed to perform (counts vary per random
+batch, so recovery replays run count-only instrumented and feed that
+bound too), and after every injected "driver death" runs the recovery
 replay and verifies BOTH:
 
   - the committed product equals a from-scratch batch recompute over the
@@ -16,8 +18,8 @@ replay and verifies BOTH:
     so a store corrupted in a way the product check can't see (it reads
     through the store) still fails loudly.
 
-Every crash point any poll can reach is therefore exercised — including
-the ones nobody thought to name. A second phase sweeps the injector
+Every crash point up to the maximum observed poll mutation count is
+therefore exercised — including the ones nobody thought to name. A second phase sweeps the injector
 through ``LinkStore.split`` and checks the roll-forward recovery.
 
 Opt-in (minutes per flavor):
@@ -42,9 +44,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from _fuzz_common import PAGE_SCHEMA, html_doc, store_matches_pages, verify_poll  # noqa: E402
+
 EPS = 1e-8
-ATOL = 100 * EPS
-PAGE_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 _MUTATORS = ("fs_rename", "fs_delete", "fs_write_text", "fs_mkdirs")
 
 
@@ -67,14 +69,17 @@ class Injector:
         self._k = None
         self._n = 0
 
-    def arm(self, k: int) -> None:
+    def arm(self, k: int | None) -> None:
+        """k-th mutation raises; k=None counts mutations without raising
+        (used on recovery replays so a crashed poll's FULL mutation count
+        still feeds the sweep's termination bound)."""
         self._k, self._n = k, 0
         import linkgraph.engine as eng
 
         def wrap(fn):
             def inner(*a, **kw):
                 self._n += 1
-                if self._n == self._k:
+                if self._k is not None and self._n == self._k:
                     raise InjectedCrash(f"{fn.__name__} call #{self._k}")
                 return fn(*a, **kw)
 
@@ -93,10 +98,6 @@ class Injector:
         return self._n
 
 
-def _html(links):
-    return ("<html><body>" + "".join(f'<a href="{u}">l</a>' for u in links) + "</body></html>").encode()
-
-
 def small_batch(rng, spark, round_no: int, known: list[str], next_idx: int):
     """One new page linking two random known urls, with p=0.5 a re-crawl
     rewriting a random page's outlinks and p=0.3 a tombstone kill —
@@ -109,29 +110,16 @@ def small_batch(rng, spark, round_no: int, known: list[str], next_idx: int):
     u = page_url(next_idx)
     next_idx += 1
     t = list(rng.choice(known, size=min(2, len(known)), replace=False))
-    rows.append((u, ts0, _html(t), "", "en"))
+    rows.append((u, ts0, html_doc(t), "", "en"))
     known.append(u)
     if rng.random() < 0.5:
         ru = str(rng.choice(known[:-1]))
         rt = [x for x in rng.choice(known, size=2, replace=False) if x != ru]
-        rows.append((ru, ts0 + dt.timedelta(minutes=1), _html(rt), "", "en"))
+        rows.append((ru, ts0 + dt.timedelta(minutes=1), html_doc(rt), "", "en"))
     if rng.random() < 0.3:
         ku = str(rng.choice(known[:-1]))
-        rows.append((ku, ts0 + dt.timedelta(minutes=2), _html([]), "", "en"))
+        rows.append((ku, ts0 + dt.timedelta(minutes=2), html_doc([]), "", "en"))
     return spark.createDataFrame(rows, PAGE_SCHEMA), next_idx
-
-
-def store_matches_pages(spark, store, stage) -> bool:
-    """Store latest view == ground truth derived from the pages dir alone."""
-    from linkgraph.build import extract_link_pairs, latest_snapshot
-
-    pages = spark.read.parquet(stage)
-    want = {
-        (r["src_url"], r["dst_url"])
-        for r in extract_link_pairs(latest_snapshot(pages)).distinct().collect()
-    }
-    got = {(r["src_url"], r["dst_url"]) for r in store.current_pairs().collect()}
-    return got == want
 
 
 def main() -> int:
@@ -147,12 +135,6 @@ def main() -> int:
     ap.add_argument("--split-max-k", type=int, default=20)
     args = ap.parse_args()
 
-    from pyspark.sql import functions as F
-
-    from linkgraph.algos import pagerank, triangle_counts, wcc
-    from linkgraph.build import pairs_to_edges
-    from linkgraph.conventions import PR_DAMPING
-    from linkgraph.hostgraph import host_pagerank
     from linkgraph.incremental import (
         host_store_rank_poll,
         link_store_components_poll,
@@ -189,67 +171,6 @@ def main() -> int:
         ),
     }
 
-    def verify(flavor, stage, st) -> tuple[bool, str]:
-        store = LinkStore(spark, f"{st}/links", buckets=None)
-        if not store_matches_pages(spark, store, stage):
-            return False, "store != pages ground truth"
-        if flavor == "host":
-            want = {
-                r["host"]: r["rank"]
-                for r in host_pagerank(
-                    spark, store.current_pairs(), eps=EPS, max_iters=300, partitions=8
-                ).collect()
-            }
-            hd = spark.read.parquet(f"{st}/hostdict")
-            got = {
-                r["url"]: r["rank"]
-                for r in spark.read.parquet(f"{st}/host_ranks").join(hd, "id").collect()
-            }
-            stale = {h: r for h, r in got.items() if h not in want}
-            ok = (
-                set(want) <= set(got)
-                and all(abs(got[h] - want[h]) <= ATOL for h in want)
-                and all(abs(r - (1.0 - PR_DAMPING)) <= ATOL for r in stale.values())
-            )
-            return ok, "" if ok else "host ranks diverge"
-        d = spark.read.parquet(f"{st}/dict")
-        edges = pairs_to_edges(store.current_pairs(), d)
-        if flavor == "rank":
-            want = pagerank(
-                spark, edges, vertices=d.select("id"), eps=EPS, max_iters=300, partitions=8
-            ).state.select("id", F.col("rank").alias("w"))
-            got = spark.read.parquet(f"{st}/ranks")
-            both = got.join(want, "id").toPandas()
-            ok = len(both) == got.count() > 0 and np.allclose(
-                both["rank"].to_numpy(), both["w"].to_numpy(), rtol=0, atol=ATOL
-            )
-            return ok, "" if ok else "ranks diverge"
-        if flavor == "comps":
-            def by_url(labels):
-                return (
-                    labels.join(d, "id")
-                    .select(F.col("url").alias("u"), "comp")
-                    .join(d.select(F.col("id").alias("comp"), F.col("url").alias("cu")), "comp")
-                    .select("u", "cu")
-                )
-
-            want = {(r["u"], r["cu"]) for r in by_url(
-                wcc(spark, edges, partitions=8).state.select("id", "comp")
-            ).collect()}
-            got = {(r["u"], r["cu"]) for r in by_url(
-                spark.read.parquet(f"{st}/comps")
-            ).collect()}
-            return (got == want and len(got) > 0), "" if got == want else "comps diverge"
-        want = {
-            r["url"]: r["tri"]
-            for r in triangle_counts(spark, edges).join(d, "id").collect()
-        }
-        got = {
-            r["url"]: r["tri"]
-            for r in spark.read.parquet(f"{st}/tri").join(d, "id").collect()
-        }
-        return (got == want and len(got) > 0), "" if got == want else "tri diverge"
-
     # ---------------- phase 1: poll-protocol sweep, one flavor at a time
     for flavor in args.flavors.split(","):
         poll = POLLS[flavor]
@@ -266,9 +187,16 @@ def main() -> int:
             pages0.coalesce(1).write.mode("overwrite").parquet(stage)
             next_idx = 50_000
             poll(stage, st)  # clean bootstrap
-            ok, detail = verify(flavor, stage, st)
+            ok, detail = verify_poll(spark, flavor, stage, st, EPS)
             report(flavor, 0, False, ok, detail)
 
+            # mutation counts vary per random batch (re-crawls/tombstones
+            # touch more buckets), so "this poll didn't reach k" does NOT
+            # mean no poll can: track the max count ever observed —
+            # recovery replays run count-only instrumented so crashed
+            # polls contribute their FULL count — and stop only once k
+            # exceeds it.
+            max_seen = 0
             for k in range(1, args.max_k + 1):
                 batch, next_idx = small_batch(rng, spark, k, known, next_idx)
                 batch.coalesce(1).write.mode("append").parquet(stage)
@@ -279,14 +207,20 @@ def main() -> int:
                 except InjectedCrash:
                     crashed = True
                 finally:
-                    inj.disarm()
+                    n_obs = inj.disarm()
+                max_seen = max(max_seen, n_obs)
                 if crashed:
-                    poll(stage, st)  # the recovery replay
-                ok, detail = verify(flavor, stage, st)
+                    inj.arm(None)  # count-only: observe the replay too
+                    try:
+                        poll(stage, st)  # the recovery replay
+                    finally:
+                        max_seen = max(max_seen, inj.disarm())
+                ok, detail = verify_poll(spark, flavor, stage, st, EPS)
                 report(flavor, k, crashed, ok, detail)
-                if not crashed:
-                    # k exceeded this poll's mutation count: every reachable
-                    # crash point for this flavor has been injected
+                if not crashed and k > max_seen:
+                    # k exceeded the largest mutation count ANY poll in
+                    # this history performed: every crash point observed
+                    # reachable for this flavor has been injected
                     break
         finally:
             shutil.rmtree(work, ignore_errors=True)
@@ -316,7 +250,7 @@ def main() -> int:
             if ok:
                 gen_pages(spark, args.n0 + 5).coalesce(1).write.mode("append").parquet(stage)
                 link_store_rank_poll(spark, stage, st, eps=EPS, max_iters=300, partitions=8, buckets=8)
-                ok, detail = verify("rank", stage, st)
+                ok, detail = verify_poll(spark, "rank", stage, st, EPS)
             else:
                 detail = "store != ground truth after split recovery"
             report("split", k, crashed, ok, detail if not ok else "")

@@ -16,8 +16,11 @@ of
 
 All four steady-state loops run side by side on the same growing pages
 directory (each with its own state dir / LinkStore), and after EVERY poll
-each loop's committed product is compared against a from-scratch batch
-recompute over the store's current pairs:
+each loop is checked against the shared per-poll contract defined ONCE in
+``jobs/_fuzz_common.py`` (the same contract the crash sweep enforces):
+the store's latest view must equal the ground truth derived straight from
+the pages directory, and the committed product must equal a from-scratch
+batch recompute over the store's current pairs:
 
   - link_store_rank_poll        ranks ≡ batch pagerank     (atol 100·eps)
   - link_store_components_poll  labels ≡ batch wcc         (exact, by url)
@@ -45,13 +48,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from _fuzz_common import PAGE_SCHEMA, html_doc, verify_poll  # noqa: E402
+
 EPS = 1e-9
-PAGE_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
-
-
-def _html(links: list[str]) -> bytes:
-    body = "".join(f'<a href="{u}">l</a>' for u in links)
-    return f"<html><body>{body}</body></html>".encode()
 
 
 def random_batch(rng, spark, poll_no: int, known_urls: list[str], next_idx: int):
@@ -59,7 +58,9 @@ def random_batch(rng, spark, poll_no: int, known_urls: list[str], next_idx: int)
     from linkgraph.synth import page_url
 
     rows = []
-    ts0 = dt.datetime(2024, 6, 1 + poll_no, 12, 0, 0)
+    # timedelta from a fixed base, NOT day=1+poll_no: the latter overflows
+    # June's 30 days and crashes any --polls >= 30 run mid-sweep
+    ts0 = dt.datetime(2024, 6, 1, 12, 0, 0) + dt.timedelta(days=poll_no)
     # growth: 2-5 new pages, each linking 1-3 random known urls (plus
     # occasionally a never-seen url — a dangling target)
     for _ in range(int(rng.integers(2, 6))):
@@ -69,7 +70,7 @@ def random_batch(rng, spark, poll_no: int, known_urls: list[str], next_idx: int)
         targets = list(rng.choice(known_urls, size=min(k, len(known_urls)), replace=False))
         if rng.random() < 0.3:
             targets.append(page_url(next_idx + 1000))  # dangling
-        rows.append((u, ts0 + dt.timedelta(seconds=len(rows)), _html(targets), "", "en"))
+        rows.append((u, ts0 + dt.timedelta(seconds=len(rows)), html_doc(targets), "", "en"))
         known_urls.append(u)
     # replacement: with p=0.5, re-crawl 1-2 existing pages with a fresh
     # random outlink set (gains AND losses relative to whatever they had)
@@ -78,11 +79,11 @@ def random_batch(rng, spark, poll_no: int, known_urls: list[str], next_idx: int)
             u = str(rng.choice(known_urls))
             k = int(rng.integers(1, 4))
             targets = [t for t in rng.choice(known_urls, size=min(k, len(known_urls)), replace=False) if t != u]
-            rows.append((u, ts0 + dt.timedelta(minutes=5, seconds=len(rows)), _html(targets), "", "en"))
+            rows.append((u, ts0 + dt.timedelta(minutes=5, seconds=len(rows)), html_doc(targets), "", "en"))
     # kill: with p=0.3, tombstone one existing page
     if rng.random() < 0.3 and known_urls:
         u = str(rng.choice(known_urls))
-        rows.append((u, ts0 + dt.timedelta(minutes=10, seconds=len(rows)), _html([]), "", "en"))
+        rows.append((u, ts0 + dt.timedelta(minutes=10, seconds=len(rows)), html_doc([]), "", "en"))
     return spark.createDataFrame(rows, PAGE_SCHEMA), next_idx
 
 
@@ -98,11 +99,6 @@ def main() -> int:
     ap.add_argument("--n0", type=int, default=50)
     args = ap.parse_args()
 
-    from pyspark.sql import functions as F
-
-    from linkgraph.algos import pagerank, triangle_counts, wcc
-    from linkgraph.build import pairs_to_edges
-    from linkgraph.hostgraph import host_pagerank
     from linkgraph.incremental import (
         host_store_rank_poll,
         link_store_components_poll,
@@ -157,104 +153,36 @@ def main() -> int:
                                 splits += 1
                         print(json.dumps({"seed": seed, "poll": poll_no, "event": "split", "total_splits": splits}))
 
-                # ---- rank loop: converged ranks == batch pagerank (same
-                # dict ids, same vertex set — the fixpoint is unique)
+                # every loop: run the poll, then enforce the shared
+                # per-poll contract (store == pages ground truth; product
+                # == from-scratch batch recompute) from jobs/_fuzz_common —
+                # ONE definition shared with the crash sweep, so the two
+                # harnesses cannot drift apart.
                 link_store_rank_poll(
                     spark, stage, states["rank"], eps=EPS, max_iters=300,
                     partitions=8, buckets=8,
                 )
-                store = LinkStore(spark, f"{states['rank']}/links", buckets=None)
-                d = spark.read.parquet(f"{states['rank']}/dict")
-                edges = pairs_to_edges(store.current_pairs(), d)
-                want = pagerank(
-                    spark, edges, vertices=d.select("id"), eps=EPS, max_iters=300,
-                    partitions=8,
-                ).state.select("id", F.col("rank").alias("w"))
-                got = spark.read.parquet(f"{states['rank']}/ranks")
-                both = got.join(want, "id").toPandas()
-                ok = len(both) == got.count() > 0 and np.allclose(
-                    both["rank"].to_numpy(), both["w"].to_numpy(), rtol=0, atol=100 * EPS
-                )
-                check(seed, poll_no, "rank", ok)
+                ok, detail = verify_poll(spark, "rank", stage, states["rank"], EPS)
+                check(seed, poll_no, "rank", ok, detail)
 
-                # ---- components loop: labels == batch wcc, by url
                 link_store_components_poll(
                     spark, stage, states["comps"], max_iters=300, partitions=8, buckets=8
                 )
-                store = LinkStore(spark, f"{states['comps']}/links", buckets=None)
-                d = spark.read.parquet(f"{states['comps']}/dict")
-                edges = pairs_to_edges(store.current_pairs(), d)
+                ok, detail = verify_poll(spark, "comps", stage, states["comps"], EPS)
+                check(seed, poll_no, "comps", ok, detail)
 
-                def by_url(labels):
-                    return (
-                        labels.join(d, "id")
-                        .select(F.col("url").alias("u"), "comp")
-                        .join(
-                            d.select(F.col("id").alias("comp"), F.col("url").alias("cu")),
-                            "comp",
-                        )
-                        .select("u", "cu")
-                    )
-
-                want_s = {(r["u"], r["cu"]) for r in by_url(wcc(spark, edges, partitions=8).state.select("id", "comp")).collect()}
-                got_s = {(r["u"], r["cu"]) for r in by_url(spark.read.parquet(f"{states['comps']}/comps")).collect()}
-                check(seed, poll_no, "comps", got_s == want_s and len(got_s) > 0)
-
-                # ---- triangles loop: counts == batch triangle_counts, by url
                 link_store_triangles_poll(
                     spark, stage, states["tri"], partitions=8, buckets=8
                 )
-                store = LinkStore(spark, f"{states['tri']}/links", buckets=None)
-                d = spark.read.parquet(f"{states['tri']}/dict")
-                edges = pairs_to_edges(store.current_pairs(), d)
-                want_t = {
-                    r["url"]: r["tri"]
-                    for r in triangle_counts(spark, edges).join(d, "id").collect()
-                }
-                got_t = {
-                    r["url"]: r["tri"]
-                    for r in spark.read.parquet(f"{states['tri']}/tri").join(d, "id").collect()
-                }
-                check(seed, poll_no, "tri", got_t == want_t and len(got_t) > 0)
+                ok, detail = verify_poll(spark, "tri", stage, states["tri"], EPS)
+                check(seed, poll_no, "tri", ok, detail)
 
-                # ---- host loop: host ranks == batch host_pagerank
                 host_store_rank_poll(
                     spark, stage, states["host"], eps=EPS, max_iters=300,
                     partitions=8, buckets=8,
                 )
-                store = LinkStore(spark, f"{states['host']}/links", buckets=None)
-                want_h = {
-                    r["host"]: r["rank"]
-                    for r in host_pagerank(
-                        spark, store.current_pairs(), src_col="src_url",
-                        dst_col="dst_url", eps=EPS, max_iters=300, partitions=8,
-                    ).collect()
-                }
-                hd = spark.read.parquet(f"{states['host']}/hostdict")
-                got_h = {
-                    r["url"]: r["rank"]
-                    for r in spark.read.parquet(f"{states['host']}/host_ranks")
-                    .join(hd, "id")
-                    .collect()
-                }
-                # the poll ranks over the STABLE host dictionary, so its
-                # state is a superset of the batch reference: a host whose
-                # last cross-host edge a tombstone/re-crawl removed stays
-                # in the dict as an isolated vertex and must sit exactly at
-                # the dangling fixpoint 1-d; live hosts must match batch.
-                from linkgraph.conventions import PR_DAMPING
-
-                stale = {h: r for h, r in got_h.items() if h not in want_h}
-                ok = (
-                    set(want_h) <= set(got_h)
-                    and len(want_h) > 0
-                    and all(abs(got_h[h] - want_h[h]) <= 100 * EPS for h in want_h)
-                    and all(abs(r - (1.0 - PR_DAMPING)) <= 100 * EPS for r in stale.values())
-                )
-                check(
-                    seed, poll_no, "host", ok,
-                    detail="" if ok else f"stale={stale} missing={set(want_h)-set(got_h)}",
-                )
+                ok, detail = verify_poll(spark, "host", stage, states["host"], EPS)
+                check(seed, poll_no, "host", ok, detail)
         finally:
             shutil.rmtree(work, ignore_errors=True)
 

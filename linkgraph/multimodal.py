@@ -58,9 +58,24 @@ def decode_image_batch(payloads: pd.Series) -> pd.Series:
 def fake_feature_extractor(payload: bytes) -> np.ndarray:
     """Deterministic FEATURE_DIM-float vector from the payload bytes
     (sha256-derived). Stands in for a real embedding model so the Spark
-    plumbing (batching, schema, ordering) is testable."""
+    plumbing (batching, schema, ordering) is testable.
+
+    dtype is pinned little-endian ('<u2'), NOT native uint16: the DuckDB
+    driver oracle recomputes each u from sha256 hex pairs assuming LE byte
+    order, so a native dtype would silently flip every feature on a
+    big-endian host and fail the gate for a correct engine.
+    """
+    # a sha256 digest is 32 bytes = at most 16 LE-uint16 features; raising
+    # FEATURE_DIM past that would silently truncate here while the driver
+    # oracle's SQL fan-out reads past the 64-char hex string — fail loudly
+    # at the definition site instead
+    if FEATURE_DIM * 2 > hashlib.sha256().digest_size:
+        raise ValueError(
+            f"FEATURE_DIM={FEATURE_DIM} exceeds sha256 capacity "
+            f"({hashlib.sha256().digest_size // 2} uint16 features)"
+        )
     digest = hashlib.sha256(payload or b"").digest()
-    raw = np.frombuffer(digest[: FEATURE_DIM * 2], dtype=np.uint16)
+    raw = np.frombuffer(digest[: FEATURE_DIM * 2], dtype="<u2")
     return (raw.astype(np.float32) / 65535.0).astype(np.float32)
 
 

@@ -195,6 +195,28 @@ def test_multimodal_requantization_is_exact():
     assert (back == u).all()
 
 
+def test_multimodal_extractor_byte_order_is_little_endian():
+    """The DuckDB oracle recomputes each u from sha256 hex pairs assuming
+    little-endian byte order; pin the extractor to the same interpretation
+    explicitly (a native-dtype frombuffer would silently flip every value
+    on a big-endian host)."""
+    import hashlib
+
+    from linkgraph.multimodal import FEATURE_DIM, fake_feature_extractor
+
+    payload = b"endianness-pin"
+    digest = hashlib.sha256(payload).digest()
+    want = np.array(
+        [
+            (digest[2 * i] | (digest[2 * i + 1] << 8)) / 65535.0
+            for i in range(FEATURE_DIM)
+        ],
+        dtype=np.float32,
+    )
+    got = fake_feature_extractor(payload)
+    assert got.dtype == np.float32 and (got == want).all()
+
+
 def test_lang_id_mostly_right_on_en(spark):
     """Sanity: heuristic lang-id is deterministic and scores real English
     docs as 'en' more often than any other label."""
