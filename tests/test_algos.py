@@ -252,6 +252,23 @@ def test_lp_exact(spark, wiki_edges_df, wiki_vertices_df):
     assert res.metrics[0]["changed_labels"] > 0
 
 
+def test_lp_agg_kernels_equivalent(spark, wiki_edges_df, wiki_vertices_df):
+    """All three LP aggregation kernels (two_level / mode / repart) produce
+    identical labels == golden on the wiki fixture. The tie-break is part
+    of the pinned convention — a kernel that differs on ties is WRONG, not
+    merely different (mode relies on Spark's deterministic-mode
+    lowest-value tie-break; repart on exchange-free two-level aggs)."""
+    want = golden("labels").sort_values("id")["label"].to_numpy()
+    for agg in ("two_level", "mode", "repart"):
+        res = label_propagation(
+            spark, wiki_edges_df, vertices=wiki_vertices_df, agg=agg
+        )
+        got = _vec(res.state.select("id", "label"), "label")
+        assert (got == want).all(), agg
+    with pytest.raises(ValueError):
+        label_propagation(spark, wiki_edges_df, agg="nope")
+
+
 def test_triangles_exact(spark, wiki_edges_df, wiki_vertices_df):
     got = _vec(triangle_counts(spark, wiki_edges_df, vertices=wiki_vertices_df), "tri")
     want = golden("triangles").sort_values("id")["tri"].to_numpy()

@@ -247,6 +247,31 @@ def test_symmetrized_gather_layout_single_shuffle(spark, wiki_edges_df):
         naive.unpersist()
 
 
+def test_lp_repart_superstep_single_exchange(spark):
+    """LP's default (repart) winners computation must plan exactly ONE
+    hash exchange downstream of the gathered labels: the explicit
+    repartition on dst_id. HashPartitioning(dst_id) satisfies the
+    clustered distribution of BOTH aggregations — groupBy(dst,label) and
+    the groupBy(dst) argmax — so a second Exchange anywhere means Catalyst
+    stopped recognizing that and the kernel silently regressed to
+    two_level's two-exchange shape."""
+    nb = (
+        spark.range(1000)
+        .select(
+            (F.col("id") % 97).alias("dst_id"), (F.col("id") % 13).alias("label")
+        )
+        .repartition(8, "dst_id")
+    )
+    counts = nb.groupBy("dst_id", "label").agg(F.count(F.lit(1)).alias("cnt"))
+    winners = counts.groupBy("dst_id").agg(
+        F.min(
+            F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("label").alias("label"))
+        ).alias("w")
+    ).select("dst_id", F.col("w.label").alias("new_label"))
+    plan = _plan(winners)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_delta_frontier_gather_keeps_edge_layout(spark, wiki_edges_df):
     """The V4 delta superstep's gather — persisted edge layout joined
     against the (filtered, shrinking) frontier — must stream the edge
