@@ -83,8 +83,9 @@ def label_propagation(
     the engine metrics, observed on the superstep's own materialization —
     zero extra Spark jobs (engine.ObservedStop).
 
-    ``agg``: per-superstep aggregation kernel — "two_level" (default),
-    "mode", or "repart"; identical results (see module docstring).
+    ``agg``: per-superstep aggregation kernel — "repart" (default, A/B
+    winner), "two_level", or "mode"; identical results (see module
+    docstring).
     """
     if agg not in ("two_level", "mode", "repart"):
         raise ValueError(f"unknown LP aggregation kernel: {agg!r}")
