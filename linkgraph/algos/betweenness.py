@@ -112,7 +112,8 @@ def betweenness(
 
     try:
         bfs_res = engine.run(
-            state0, fwd_step, max_iters=max_iters, should_stop=_changed_stop
+            state0, fwd_step, max_iters=max_iters, should_stop=_changed_stop,
+            shuffle_partitions=partitions,
         )
         levels = bfs_res.state.filter(F.col("dist") >= 0).select(
             "pivot", "id", "dist", "sigma"

@@ -78,7 +78,8 @@ def bfs(
 
     try:
         return engine.run(
-            state0, step, max_iters=max_iters, should_stop=_should_stop, resume=resume
+            state0, step, max_iters=max_iters, should_stop=_should_stop, resume=resume,
+            shuffle_partitions=partitions,
         )
     finally:
         # unconditional: an exception mid-run must not leak the O(E) cache

@@ -101,7 +101,10 @@ def hits(
         )
 
     try:
-        return engine.run(state0, step, max_iters=iters, should_stop=None, resume=resume)
+        return engine.run(
+            state0, step, max_iters=iters, should_stop=None, resume=resume,
+            shuffle_partitions=partitions,
+        )
     finally:
         # unconditional: an exception mid-run must not leak the O(E) caches
         fwd.unpersist()

@@ -259,6 +259,7 @@ def pagerank(
             max_iters=max_iters,
             should_stop=_stop_fn(eps) if eps > 0 else None,
             resume=resume,
+            shuffle_partitions=partitions,
         )
     finally:
         edges.unpersist()
@@ -1180,7 +1181,8 @@ def pagerank_delta(
             decide=lambda m, it: int(m["active"] or 0) == 0,
         )
         return engine.run(
-            state0, step, max_iters=max_iters, should_stop=stop, resume=resume
+            state0, step, max_iters=max_iters, should_stop=stop, resume=resume,
+            shuffle_partitions=partitions,
         )
     finally:
         edges.unpersist()

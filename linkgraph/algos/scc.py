@@ -234,7 +234,8 @@ def scc(
                     )
 
                 colored = engine.run(
-                    color0, color_step, max_iters=max_iters, should_stop=_changed_stop
+                    color0, color_step, max_iters=max_iters, should_stop=_changed_stop,
+                    shuffle_partitions=partitions,
                 )
                 total_iters += colored.iterations
 
@@ -283,7 +284,8 @@ def scc(
                     )
 
                 marked = engine.run(
-                    mark0, back_step, max_iters=max_iters, should_stop=_changed_stop
+                    mark0, back_step, max_iters=max_iters, should_stop=_changed_stop,
+                    shuffle_partitions=partitions,
                 )
                 total_iters += marked.iterations
 

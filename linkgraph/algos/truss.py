@@ -95,6 +95,9 @@ def truss(
     oracle-matched queries); otherwise peel to the count-stable fixpoint.
     """
     engine = engine or SuperstepEngine(spark)
+    from linkgraph.build import resolve_partitions
+
+    partitions = resolve_partitions(spark, edges, None)
     und0 = _canonical_undirected(edges)
     min_support = k - 2
 
@@ -127,4 +130,5 @@ def truss(
         max_iters=fixed_rounds if fixed_rounds is not None else max_iters,
         should_stop=None if fixed_rounds is not None else should_stop,
         resume=resume,
+        shuffle_partitions=partitions,
     )

@@ -267,17 +267,47 @@ def edge_fingerprint(
     return int(row["n"]), row["chk"]
 
 
+# Adaptive gather-partition sizing (guide-style scale adaptivity: derive
+# the count from the input, never from a constant tuned to one box).
+# - MIN_EDGES_PER_TASK is the small-graph floor: below it, per-superstep
+#   task-scheduling dominates compute, so tiny graphs iterate in few/one
+#   task(s) per stage (interleaved A/B on the 5M-edge bench graph:
+#   in-loop 64 -> 32 partitions cut the sql steady superstep 0.60-0.75 ->
+#   0.40-0.46 s and delta-convergence 38 -> 23 s; a 2k-edge host graph
+#   resolves to 1 instead of paying 64-task stages per superstep).
+# - The cap is max(cluster parallelism, 256 MB-sized partition count):
+#   mid-size graphs use every core once per stage wave; at crawl scale
+#   the bytes term takes over and bounds per-task state (guide §2.2's
+#   "fewer, larger partitions" once shuffles dominate).
+MIN_EDGES_PER_TASK = 150_000
+EDGE_ROW_BYTES = 16  # two int64 columns; weight columns only add ~50%
+TARGET_PARTITION_BYTES = 256 << 20
+
+
+def adaptive_partitions(spark, n_rows: int, row_bytes: int = EDGE_ROW_BYTES) -> int:
+    """Scale-adaptive partition count for ``n_rows`` gather-layout rows."""
+    by_task_floor = max(1, -(-int(n_rows) // MIN_EDGES_PER_TASK))
+    cap = max(
+        spark.sparkContext.defaultParallelism,
+        -(-(int(n_rows) * row_bytes) // TARGET_PARTITION_BYTES),
+    )
+    return min(by_task_floor, cap)
+
+
 def resolve_partitions(spark, edges: DataFrame, partitions: int | None) -> int:
     """Gather-partition count for an iterative kernel, in priority order:
     explicit caller argument > the bucket count a ``load_edge_image``
     DataFrame carries (adopting the image's baked-in partitioning lets
-    ``gather_layout`` skip the cold-start shuffle) > the session's shuffle
-    partitions. Single definition — every kernel resolves identically."""
-    return (
-        partitions
-        or getattr(edges, "_lg_bucket_count", None)
-        or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    )
+    ``gather_layout`` skip the cold-start shuffle) > **scale-adaptive from
+    the edge count** (``adaptive_partitions``; one count action — metadata
+    -fast on parquet scans and cached inputs). Single definition — every
+    kernel resolves identically. Callers whose edge expression is an
+    expensive lazy derivation should pass an explicit count-free
+    ``partitions`` (the incremental polls do)."""
+    resolved = partitions or getattr(edges, "_lg_bucket_count", None)
+    if resolved:
+        return resolved
+    return adaptive_partitions(spark, edges.count())
 
 
 def gather_layout(
@@ -364,7 +394,14 @@ def symmetrize(edges: DataFrame) -> DataFrame:
 
 
 def vertex_ids_from_edges(edges: DataFrame) -> DataFrame:
-    """Vertex universe (id) implied by an edge table."""
+    """Vertex universe (id) implied by an edge table.
+
+    One union + distinct, deliberately: per-side distincts before the
+    union (to make the src side partition-local on a gather layout) were
+    tried in r6 and REFUTED by an interleaved noop A/B on the 5M-edge
+    bench graph — the single exchange's map-side partial dedup already
+    collapses the stream, and the three-exchange spelling was slower on
+    both raw (1.0 vs 1.0-2.5s) and layout (0.42 vs 0.61-1.4s) inputs."""
     return (
         edges.select(F.col("src_id").alias("id"))
         .unionByName(edges.select(F.col("dst_id").alias("id")))

@@ -347,6 +347,7 @@ class SuperstepEngine:
         max_iters: int,
         should_stop: StopFn | ObservedStop | None = None,
         resume: bool = False,
+        shuffle_partitions: int | None = None,
     ) -> RunResult:
         state = initial_state
         start_iter = 0
@@ -396,8 +397,21 @@ class SuperstepEngine:
         # unsorted side (resume-from-parquet state, raw test layouts) pays
         # one small O(V) sort, never an O(E) build.
         smj_before = self.spark.conf.get("spark.sql.join.preferSortMergeJoin")
+        # Loop-scoped shuffle-partition override: kernels resolve a gather
+        # partition count from the DATA (build.resolve_partitions — scale-
+        # adaptive, not the session's one-shot-query constant) and every
+        # in-loop exchange (message groupBy, apply join, state checkpoint)
+        # must agree with the cached edge layout's partitioning or Catalyst
+        # re-inserts a per-superstep Exchange. Setting it here (and
+        # restoring after) keeps the whole loop on ONE consistent count:
+        # a 2k-edge host graph iterates in 1-task stages instead of paying
+        # the session's 64-task scheduling floor per superstep, while a
+        # crawl-scale graph gets its size-derived count.
+        sp_before = self.spark.conf.get("spark.sql.shuffle.partitions")
         self.spark.conf.set("spark.sql.adaptive.enabled", "false")
         self.spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+        if shuffle_partitions:
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         try:
             return self._run_loop(
                 state, step, max_iters, should_stop, start_iter, resumed_from, metrics
@@ -405,6 +419,7 @@ class SuperstepEngine:
         finally:
             self.spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
             self.spark.conf.set("spark.sql.join.preferSortMergeJoin", smj_before)
+            self.spark.conf.set("spark.sql.shuffle.partitions", sp_before)
 
     def _run_loop(
         self,
