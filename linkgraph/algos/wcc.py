@@ -154,7 +154,8 @@ def wcc(
 
     try:
         return engine.run(
-            state0, step, max_iters=max_iters, should_stop=_should_stop, resume=resume
+            state0, step, max_iters=max_iters, should_stop=_should_stop, resume=resume,
+            shuffle_partitions=partitions,
         )
     finally:
         # unconditional: an exception mid-run must not leak the O(E) cache
@@ -172,7 +173,7 @@ def _neighborhoods(e: DataFrame) -> DataFrame:
     )
 
 
-def _large_star(e: DataFrame, dedup: bool = True) -> DataFrame:
+def _large_star(e: DataFrame, dedup: bool = True, partitions: int | None = None) -> DataFrame:
     """For each center u with m = min(N(u) ∪ {u}): link every neighbor
     v > u to m (Kiveris et al., "Connected Components in MapReduce and
     Beyond", alternating algorithm).
@@ -186,7 +187,17 @@ def _large_star(e: DataFrame, dedup: bool = True) -> DataFrame:
     small-star's min-agg and are removed by its output distinct.
     Interleaved A/B on the 5M-edge bench graph (jobs/ab_wccstar_dedup.py,
     checksum-equal arms): skipping the shuffle is 27% faster per fixpoint
-    (18.7s vs 25.4s min-of-2), hence the default; BENCH/BASELINE.md."""
+    (18.7s vs 25.4s min-of-2), hence the default; BENCH/BASELINE.md.
+
+    Plan note (r6): a shared explicit repartition of the neighborhoods
+    feeding both the min-agg and the join was tried and REFUTED by the
+    plan — predicate pushdown moves the join side's dst>src filter below
+    the repartition, so the two consumers' exchange subtrees diverge and
+    nothing is reused, while the raw repartition also forfeits the
+    groupBy exchange's map-side min combine. The two-exchange shape with
+    the partial-agg combine stays (``partitions`` is accepted for
+    signature parity with ``_small_star``; the exchange counts come from
+    the session/loop shuffle-partition conf)."""
     nb = _neighborhoods(e)
     m = nb.groupBy("src_id").agg(F.min("dst_id").alias("__mn"))
     m = m.select("src_id", F.least("__mn", "src_id").alias("__m"))
@@ -199,10 +210,30 @@ def _large_star(e: DataFrame, dedup: bool = True) -> DataFrame:
     return out.distinct() if dedup else out
 
 
-def _small_star(e: DataFrame) -> DataFrame:
+def _small_star(
+    e: DataFrame, partitions: int | None = None, assume_oriented: bool = False
+) -> DataFrame:
     """For each center u over its strictly-smaller neighbors N⁻(u), with
-    m = min(N⁻(u) ∪ {u}): link every v ∈ N⁻(u) and u itself to m."""
-    nb = _neighborhoods(e).filter(F.col("dst_id") < F.col("src_id"))
+    m = min(N⁻(u) ∪ {u}): link every v ∈ N⁻(u) and u itself to m.
+
+    ``assume_oriented`` (r6): when ``e`` is a large-star OUTPUT, every row
+    already satisfies dst < src (each emitted edge links v to
+    m = min(N(u) ∪ {u}) ≤ u < v), so the <-direction neighborhoods ARE
+    ``e`` verbatim. The general spelling unioned both edge directions and
+    filtered — which re-executed the whole large-star join subtree a
+    second time per round just to filter its reversed copy down to zero
+    rows. With the flag, ``e`` is repartitioned ONCE on the center key
+    and both the min-agg and the join consume the identical exchange
+    subtree (deduped to one ReusedExchange at execution; no filter sits
+    between them to break the match, unlike large-star's shape). The
+    output distinct is the one remaining exchange — its key (the
+    rewritten src) is not the center key, so it cannot ride the same
+    exchange."""
+    if assume_oriented:
+        nb = e
+    else:
+        nb = _neighborhoods(e).filter(F.col("dst_id") < F.col("src_id"))
+    nb = nb.repartition(partitions, "src_id") if partitions else nb.repartition("src_id")
     m = nb.groupBy("src_id").agg(F.min("dst_id").alias("__m"))
     linked = nb.join(m, "src_id").select(
         F.col("dst_id").alias("src_id"), F.col("__m").alias("dst_id")
@@ -236,6 +267,7 @@ def wcc_star(
     vertex; result state = (id, comp) exactly matching ``wcc``.
     """
     engine = engine or SuperstepEngine(spark)
+    partitions = resolve_partitions(spark, edges, None)
     e0 = (
         edges.select("src_id", "dst_id")
         .filter(F.col("src_id") != F.col("dst_id"))
@@ -244,7 +276,14 @@ def wcc_star(
     ids = vertices.select("id") if vertices is not None else vertex_ids_from_edges(edges)
 
     def step(e: DataFrame, iteration: int) -> DataFrame:
-        return _small_star(_large_star(e, dedup=dedup_intermediate))
+        return _small_star(
+            _large_star(e, dedup=dedup_intermediate, partitions=partitions),
+            partitions=partitions,
+            # large-star output is oriented dst < src by construction —
+            # skip the neighborhoods union that would re-execute the
+            # large-star join once more per round (see _small_star)
+            assume_oriented=True,
+        )
 
     prev: dict[str, tuple] = {}
     converged = {"ok": False}
@@ -271,7 +310,10 @@ def wcc_star(
         decide=_decide,
     )
 
-    result = engine.run(e0, step, max_iters=max_iters, should_stop=should_stop, resume=resume)
+    result = engine.run(
+        e0, step, max_iters=max_iters, should_stop=should_stop, resume=resume,
+        shuffle_partitions=partitions,
+    )
     if not converged["ok"]:
         # Before the contraction fixpoint the edge list is NOT a star
         # forest: a vertex can still be the src of several edges, and the
