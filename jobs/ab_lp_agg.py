@@ -58,20 +58,30 @@ def main() -> None:
     n = edges.count()
 
     def checksum(state) -> tuple:
-        # order-insensitive exact fingerprint of (id, label)
+        # order-insensitive exact fingerprint of (id, label). xxhash64 in
+        # decimal space, NOT id * 1_000_003 + label: under Spark 4's
+        # default ANSI mode the multiply overflows long for large
+        # --vertices runs and aborts the A/B (r5 ADVICE); the decimal sum
+        # of full-range hashes is the repo-wide convention
+        # (build.edge_fingerprint).
         row = state.select(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("id") * F.lit(1_000_003) + F.col("label")).alias("s"),
-            F.sum(F.hash("id", "label").cast("long")).alias("h"),
+            F.sum(F.xxhash64("id", "label").cast("decimal(38,0)"))
+            .cast("string")
+            .alias("h"),
         ).collect()[0]
-        return (row["n"], row["s"], row["h"])
+        return (row["n"], row["h"])
 
     arms: dict[str, list[float]] = {a: [] for a in ARMS}
     sums: dict[str, tuple] = {}
     # warmup (JIT/page-cache) not attributed to any arm
     label_propagation(spark, edges, iters=args.iters, telemetry=False)
     for r in range(args.rounds):
-        for name in ARMS:
+        # rotate the arm order per round so monotone host drift (warming
+        # page cache, CPU-steal phases) cancels instead of systematically
+        # biasing the first-listed arm (r5 ADVICE)
+        order = ARMS[r % len(ARMS):] + ARMS[: r % len(ARMS)]
+        for name in order:
             t0 = time.monotonic()
             res = label_propagation(
                 spark, edges, iters=args.iters, telemetry=False, agg=name

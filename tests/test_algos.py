@@ -269,6 +269,31 @@ def test_lp_agg_kernels_equivalent(spark, wiki_edges_df, wiki_vertices_df):
         label_propagation(spark, wiki_edges_df, agg="nope")
 
 
+def test_lp_frontier_gather_exact_equivalence(spark, wiki_edges_df, wiki_vertices_df):
+    """The frontier-restricted gather (update computed only for dsts with
+    >= 1 changed neighbor once the changed fraction drops under the gate)
+    must be EXACTLY equivalent to the unrestricted kernel — same labels,
+    same changed flags, same per-round changed counts — because an
+    unchanged neighborhood multiset fixes the argmax. Forced on from
+    round 2 (frontier=1.0) vs forced off (frontier=None), 8 rounds, so
+    both mid-convergence and settled rounds are covered."""
+    full = label_propagation(
+        spark, wiki_edges_df, vertices=wiki_vertices_df, iters=8, frontier=None
+    )
+    fron = label_propagation(
+        spark, wiki_edges_df, vertices=wiki_vertices_df, iters=8, frontier=1.0
+    )
+    a = sorted(map(tuple, full.state.select("id", "label", "changed").collect()))
+    b = sorted(map(tuple, fron.state.select("id", "label", "changed").collect()))
+    assert a == b
+    assert [m["changed_labels"] for m in full.metrics] == [
+        m["changed_labels"] for m in fron.metrics
+    ]
+    # the tail rounds must actually have settled vertices for the frontier
+    # to skip — otherwise this test exercises nothing
+    assert full.metrics[-1]["changed_labels"] < full.metrics[0]["changed_labels"]
+
+
 def test_triangles_exact(spark, wiki_edges_df, wiki_vertices_df):
     got = _vec(triangle_counts(spark, wiki_edges_df, vertices=wiki_vertices_df), "tri")
     want = golden("triangles").sort_values("id")["tri"].to_numpy()

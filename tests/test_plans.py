@@ -254,20 +254,16 @@ def test_lp_repart_superstep_single_exchange(spark):
     clustered distribution of BOTH aggregations — groupBy(dst,label) and
     the groupBy(dst) argmax — so a second Exchange anywhere means Catalyst
     stopped recognizing that and the kernel silently regressed to
-    two_level's two-exchange shape."""
-    nb = (
-        spark.range(1000)
-        .select(
-            (F.col("id") % 97).alias("dst_id"), (F.col("id") % 13).alias("label")
-        )
-        .repartition(8, "dst_id")
+    two_level's two-exchange shape. Pins the SHIPPED pipeline
+    (labelprop.repart_winners), not a hand-rebuilt replica (r5 ADVICE):
+    if the production kernel drops the repartition or renames the
+    column, this fails."""
+    from linkgraph.algos.labelprop import repart_winners
+
+    nb = spark.range(1000).select(
+        (F.col("id") % 97).alias("dst_id"), (F.col("id") % 13).alias("label")
     )
-    counts = nb.groupBy("dst_id", "label").agg(F.count(F.lit(1)).alias("cnt"))
-    winners = counts.groupBy("dst_id").agg(
-        F.min(
-            F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("label").alias("label"))
-        ).alias("w")
-    ).select("dst_id", F.col("w.label").alias("new_label"))
+    winners = repart_winners(nb, 8)
     plan = _plan(winners)
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
