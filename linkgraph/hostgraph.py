@@ -53,6 +53,13 @@ def host_edges(
     weighted-PageRank kernel directly). Unparseable endpoints are dropped;
     intra-host edges are dropped unless ``keep_intra``.
     """
+    # NOTE (r6): fanning the pair view out to the cores before the regex
+    # (a round-robin repartition up to defaultParallelism when the scan
+    # has fewer partitions — the single-row-group small-file case) was
+    # tried and REFUTED by an interleaved noop-sink A/B at sf0.1: the
+    # shuffle of the url strings costs more than the single-task regex it
+    # parallelizes (min 2.1s plain vs 2.7s fanned); the extraction stays
+    # chained on the scan.
     pairs = url_pairs.select(
         host_col(F.col(src_col)).alias("src_host"),
         host_col(F.col(dst_col)).alias("dst_host"),
@@ -116,14 +123,28 @@ def _rank_host_edges(
     caller's dictionary ids (the incremental poll needs both the result
     metadata and id-keyed state it can warm-start the next poll from)."""
     from linkgraph.algos import pagerank
-    from linkgraph.build import assign_vertex_ids
+    from linkgraph.build import adaptive_partitions, assign_vertex_ids
 
     return_strings = hdict is None
+    if partitions is None:
+        # scale-adaptive: the roll-up is orders of magnitude smaller than
+        # the page corpus (hosts, not pages), so the dictionary build and
+        # every superstep should run at a partition count sized to IT —
+        # one count action on the (persisted) roll-up; at sf0.1 this
+        # resolves to 1 and the 3 fixed iterations run as 1-task stages
+        # instead of paying the session's 64-task floor per superstep.
+        partitions = adaptive_partitions(spark, hedges.count(), row_bytes=64)
     if hdict is None:
         hosts = hedges.select(F.col("src_host").alias("url")).unionByName(
             hedges.select(F.col("dst_host").alias("url"))
         )
-        hdict = assign_vertex_ids(hosts, partitions=partitions or 32)
+        # at partitions == 1 the scalable two-phase rank degenerates to a
+        # single-partition window anyway — take the direct window path and
+        # skip the range-partition + per-partition-count jobs (identical
+        # ids; the equivalence is pytest-pinned in test_build)
+        hdict = assign_vertex_ids(
+            hosts, scalable=partitions > 1, partitions=partitions
+        )
     src_ids = hdict.select(
         F.col("url").alias("src_host"), F.col("id").alias("src_id")
     )

@@ -250,18 +250,33 @@ def _assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, embedding, cell): max-cosine cell per vector — one
     broadcast-join pass over the data (the shape that scales: cells
     partition the corpus, so query probing later touches only
-    nprobe/n_centroids of it)."""
+    nprobe/n_centroids of it).
+
+    The argmax is a ``max(struct(ccos, -cell, embedding))`` aggregation,
+    not a ROW_NUMBER window: the partial (map-side) max collapses each
+    vector's IVF_CENTROIDS scored copies to ONE row before the exchange,
+    so the per-Lloyd-pass shuffle carries ~corpus rows instead of
+    centroids x corpus rows and skips the window's per-partition sort.
+    The (ccos, -cell) struct order reproduces the window's pick exactly —
+    max cosine, ties to the smallest cell, a NULL cosine ordering lowest
+    just like DESC NULLS LAST; -cell is unique within a vector's group so
+    the trailing embedding field never participates in a comparison.
+    (Inlining the centroids as literal arrays and taking a per-row
+    array_max was tried and REFUTED: 16 higher-order-function cosine
+    expressions in one projection made the pass 2-3x slower than the
+    crossJoin it replaced — the exchange was never the bottleneck, the
+    expression interpreter was.)"""
     scored = emb.crossJoin(F.broadcast(centroids)).select(
         "vec_id",
-        "embedding",
-        "cell",
-        _cosine(F.col("embedding"), F.col("cvec")).alias("ccos"),
+        F.struct(
+            _cosine(F.col("embedding"), F.col("cvec")).alias("ccos"),
+            (-F.col("cell")).alias("negcell"),
+            F.col("embedding").alias("e"),
+        ).alias("s"),
     )
-    wbest = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(wbest))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "embedding", "cell")
+    best = scored.groupBy("vec_id").agg(F.max("s").alias("b"))
+    return best.select(
+        "vec_id", F.col("b.e").alias("embedding"), (-F.col("b.negcell")).alias("cell")
     )
 
 
@@ -287,40 +302,58 @@ def ivf_assign(
 
     Returns (centroids_df(cell, cvec), assign_df(vec_id, embedding, cell)).
     """
-    seeds = (
-        emb.select("vec_id", "embedding", F.xxhash64(F.col("vec_id")).alias("__h"))
-        .orderBy(F.asc("__h"), F.asc("vec_id"))
-        .limit(n_centroids)
-        .collect()
-    )
-    seeds.sort(key=lambda r: (r["__h"], r["vec_id"]))
     spark = emb.sparkSession
-    centroids = spark.createDataFrame(
-        [(i + 1, [float(x) for x in r["embedding"]]) for i, r in enumerate(seeds)],
-        "cell int, cvec array<double>",
+    # Shuffle partitions sized to the CORPUS for the whole index build
+    # (guide-style scale adaptivity): at small sf the Lloyd passes were
+    # paying 64 reduce tasks per exchange to aggregate a few thousand
+    # rows — measured 3.0s of the 3.5s query. The conf is restored after;
+    # the returned ``assign`` is eagerly materialized inside the override
+    # so its plan binds to the adaptive count too (the IVF index build is
+    # a materialization point anyway — the probe step re-reads it).
+    from linkgraph.build import adaptive_partitions
+
+    sp_before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        # ~8 bytes x dim + key overhead per row
+        str(adaptive_partitions(spark, emb.count(), row_bytes=8 * 64 + 16)),
     )
-    for _ in range(kmeans_iters):
-        assign = _assign_cells(emb, centroids)
-        centroids = (
-            assign.select("cell", F.posexplode("embedding").alias("dim", "x"))
-            .groupBy("cell", "dim")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                    lambda s: s["m"],
-                ).alias("cvec")
-            )
-            # MATERIALIZE the <= n_centroids rows: without this each Lloyd
-            # iteration's centroid plan embeds the full previous assign
-            # subtree, so plan depth (and broadcast-subtree recompute)
-            # grows with kmeans_iters. Interleaved A/B at iters=3 measured
-            # it neutral (the corpus passes dominate); the eager cut is
-            # kept as the plan-depth bound for larger iteration counts.
-            .localCheckpoint(eager=True)
+    try:
+        seeds = (
+            emb.select("vec_id", "embedding", F.xxhash64(F.col("vec_id")).alias("__h"))
+            .orderBy(F.asc("__h"), F.asc("vec_id"))
+            .limit(n_centroids)
+            .collect()
         )
-    return centroids, _assign_cells(emb, centroids)
+        seeds.sort(key=lambda r: (r["__h"], r["vec_id"]))
+        centroids = spark.createDataFrame(
+            [(i + 1, [float(x) for x in r["embedding"]]) for i, r in enumerate(seeds)],
+            "cell int, cvec array<double>",
+        )
+        for _ in range(kmeans_iters):
+            assign = _assign_cells(emb, centroids)
+            centroids = (
+                assign.select("cell", F.posexplode("embedding").alias("dim", "x"))
+                .groupBy("cell", "dim")
+                .agg(F.avg(F.col("x").cast("double")).alias("m"))
+                .groupBy("cell")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                        lambda s: s["m"],
+                    ).alias("cvec")
+                )
+                # MATERIALIZE the <= n_centroids rows: without this each Lloyd
+                # iteration's centroid plan embeds the full previous assign
+                # subtree, so plan depth (and broadcast-subtree recompute)
+                # grows with kmeans_iters. Interleaved A/B at iters=3 measured
+                # it neutral (the corpus passes dominate); the eager cut is
+                # kept as the plan-depth bound for larger iteration counts.
+                .localCheckpoint(eager=True)
+            )
+        return centroids, _assign_cells(emb, centroids).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", sp_before)
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -106,19 +106,22 @@ def _shingles(d: DataFrame) -> DataFrame:
     # goes DESCENDING for short docs and slice(w, 0, n) raises
     # INVALID_PARAMETER_VALUE.START — one empty/two-word doc in the
     # corpus would abort every shingle-based query.
-    grams = words.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("w") >= n,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("w") - F.lit(n)),
-                    lambda i: F.array_join(F.slice("w", i + 1, n), " "),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("gram"),
+    #
+    # Dedup is per-row `array_distinct` BEFORE the explode, not a
+    # DataFrame .distinct() after it: doc_id is unique per input row, so
+    # the (doc_id, sh) distinct is exactly a within-document distinct —
+    # an array op, costing zero exchange where the old spelling shuffled
+    # every (doc_id, shingle) occurrence. Same distinct pairs out.
+    grams = F.when(
+        F.size("w") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - F.lit(n)),
+            lambda i: F.md5(F.array_join(F.slice("w", i + 1, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return words.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("sh")
     )
-    return grams.select("doc_id", F.md5("gram").alias("sh")).distinct()
 
 
 _SHINGLES_SQL = f"""
@@ -282,10 +285,19 @@ def _doc_simhash_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per band and a far lower false-candidate rate.
     """
     d = _docs(spark, sf_dir)
+    # within-document word dedup as a per-row array_distinct (doc_id is
+    # unique per input row, so this IS the (doc_id, w) distinct) — the
+    # old explode-then-.distinct() shuffled every word occurrence; now
+    # the only exchange left is the groupBy(doc_id), whose map-side
+    # partial agg collapses each doc to one 64-column row first.
     words = (
-        d.select("doc_id", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w"))
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(_norm_text(F.col("text")), " "))
+            ).alias("w"),
+        )
         .filter(F.col("w") != "")
-        .distinct()
         .withColumn("h1", F.md5("w"))
         .withColumn("h2", F.md5(F.concat(F.lit("#"), F.col("w"))))
     )
