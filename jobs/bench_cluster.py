@@ -41,6 +41,19 @@ def master_str(n_exec: int, cores: int, mem_mb: int) -> str:
     return f"local-cluster[{n_exec},{cores},{mem_mb}]"
 
 
+# shuffle-dir media (r5 "shuffle-medium deployment rule"): tmpfs is the
+# protocol default (cross-session comparability with the recorded rows);
+# "disk" routes shuffle to the real-disk /tmp, the arm that removed the
+# tmpfs-RAM-contention excursions in the LP 200M diagnostic. Both dirs are
+# harness-PRIVATE (purge must never touch the shared /dev/shm/spark-local
+# every get_spark session routes through).
+_MEDIUM_DIRS = {
+    "tmpfs": "/dev/shm/spark-local-benchlc",
+    "disk": "/tmp/spark-local-benchlc-disk",
+}
+SHUFFLE_MEDIUM = "tmpfs"
+
+
 def child_env(master: str, n_cores: int) -> dict:
     env = dict(
         os.environ,
@@ -50,11 +63,11 @@ def child_env(master: str, n_cores: int) -> dict:
     # In local-cluster mode the standalone worker OVERRIDES spark.local.dir
     # with SPARK_LOCAL_DIRS, so the session builder's tmpfs routing is
     # silently lost — set it in the worker env instead.
-    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        # harness-PRIVATE subdir: purge_local_dirs must never touch
-        # /dev/shm/spark-local, which every other get_spark session on
-        # the box routes through (session.py)
-        env["SPARK_LOCAL_DIRS"] = "/dev/shm/spark-local-benchlc"
+    d = _MEDIUM_DIRS[SHUFFLE_MEDIUM]
+    if SHUFFLE_MEDIUM != "tmpfs" or (
+        os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+    ):
+        env["SPARK_LOCAL_DIRS"] = d
     return env
 
 
@@ -63,15 +76,15 @@ def purge_local_dirs() -> None:
     tmpfs files are RESIDENT RAM: stale ones from an OOM-killed attempt
     would recreate the very memory-overcommit regime the per-executor
     memory default exists to avoid, silently biasing the next measurement.
-    The dir is private to this harness (not the shared
+    The dirs are private to this harness (not the shared
     /dev/shm/spark-local), and the harness runs strictly serially, so
-    nothing live uses it."""
+    nothing live uses them."""
     import shutil
 
-    d = "/dev/shm/spark-local-benchlc"
-    if os.path.isdir(d):
-        for name in os.listdir(d):
-            shutil.rmtree(os.path.join(d, name), ignore_errors=True)
+    for d in _MEDIUM_DIRS.values():
+        if os.path.isdir(d):
+            for name in os.listdir(d):
+                shutil.rmtree(os.path.join(d, name), ignore_errors=True)
 
 
 def run_pagerank(n_exec: int, args, kernel: str) -> dict:
@@ -204,8 +217,16 @@ def main() -> None:
     # both levels, sized for the largest — the real-cluster rule.
     ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument(
+        "--shuffle-medium", choices=("tmpfs", "disk"), default="tmpfs",
+        help="shuffle-dir medium for ALL runs incl. the control (r5 "
+        "deployment rule: disk is the representative medium once "
+        "per-round shuffle volume competes with free RAM)",
+    )
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     args = ap.parse_args()
+    global SHUFFLE_MEDIUM
+    SHUFFLE_MEDIUM = args.shuffle_medium
 
     # fresh zip so executors import the code being measured
     subprocess.run([sys.executable, os.path.join(REPO, "tools", "package.py")],
@@ -247,7 +268,8 @@ def render_md(args, results, shuffle_ctrl) -> str:
     c = args.exec_cores
     lines = [
         "",
-        f"## Multi-JVM evidence: local-cluster executors (1 -> 4) — {', '.join(results)}",
+        f"## Multi-JVM evidence: local-cluster executors (1 -> 4) — {', '.join(results)}"
+        + (f" [{args.shuffle_medium} shuffle]" if args.shuffle_medium != "tmpfs" else ""),
         "",
         "(unit per row: sec/superstep for sql/sem/lp — identical work each",
         "superstep; sec/WHOLE-RUN for wcc/wcc_star/tc/delta — their",
